@@ -1,0 +1,120 @@
+"""Pipeline configuration.
+
+The reference drives every algorithm parameter through a single typed enum
+of ~60 keys with defaults (Key.java:43-439, Config.java), overridable via
+properties / KEY=value CLI args. We mirror that with one frozen dataclass:
+a single source of truth shared by the Spark pipeline AND the single-node
+golden matcher, which is what makes "same shingle/signature config" parity
+(BASELINE.json north_rule) testable.
+
+Where a parameter has a direct reference analog the default is copied
+verbatim and cited; image-domain parameters (spectrogram geometry) are our
+own, scaled from the reference's 512-bin constant-Q layout to the fixture
+image sizes, and documented as such.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class PanakoConfig:
+    # ---- spectral front-end (image analog of the CQT/FFT stage) -----------
+    # Reference: PANAKO_TRANSF_* (Key.java:316-348) defines a 512-bin
+    # time-frequency field; our field is built from an image as:
+    # frames slide along x (time axis), each frame's column profile is
+    # resampled to `freq_samples` pixels and rfft'd -> freq_bins magnitudes.
+    frame_width: int = 8          # columns per analysis frame (E1)
+    frame_step: int = 2           # hop between frames (E1)
+    freq_samples: int = 256       # vertical resample length before rfft (E2)
+    # -> freq_bins = freq_samples//2 = 128 usable bins (bin 0/DC dropped:
+    #    brightness invariance; reference drops nothing but its CQT has no DC)
+
+    # ---- event-point extraction (E3-E5) ------------------------------------
+    # Reference: 103-bin vertical x 25-frame horizontal max filter
+    # (Key.java:289,293). Scaled to our 128-bin field keeping the same
+    # freq:time aspect (103/512 ≈ 0.2 of the freq extent; 25 frames).
+    # (tuned on the synthetic corpus: denser peaks than a literal scale-down
+    # of 103x25 — small images need finer granularity to clear the hit gates)
+    max_filter_freq: int = 15     # vertical max-filter window (odd)
+    max_filter_time: int = 5      # horizontal max-filter window (odd)
+    min_peak_magnitude: float = 1e-6
+    max_peaks_per_image: int = 256   # reference caps event points per frame
+                                     # (OlafEventPointProcessor.java:316-324)
+
+    # ---- triplet landmark packing (E6-E7) ----------------------------------
+    # Verbatim from Key.java:296-310 (PANAKO_FP_*).
+    min_time_distance: int = 2    # tDiff in [2,33]
+    max_time_distance: int = 33
+    min_freq_distance: int = 1    # |fDiff| in [1,128]
+    max_freq_distance: int = 128
+    max_prints_per_image: int = 4096
+
+    # ---- near-hash probe (Q1) ----------------------------------------------
+    query_range: int = 2          # Key.java:354 PANAKO_QUERY_RANGE
+
+    # ---- match gates (Q5, Q10-Q13) -----------------------------------------
+    min_unfiltered_hits: int = 10     # Key.java:359
+    min_filtered_hits: int = 8        # Key.java:382 is ">5"; raised to 8 for
+                                      # image-domain precision (measured: same
+                                      # TP, -30% FP on the synthetic corpus)
+    max_align_hits: int = 250         # head/tail cap, Key.java:368-376
+    align_fraction: int = 5           # sublist = max(10, n/5) capped at 250
+    min_align_hits: int = 10
+    inlier_threshold: int = 2         # |dt - fit| <= range (PanakoStrategy:408)
+    factor_min: float = 0.8           # Key.java:387-402
+    factor_max: float = 1.2
+    # "5 s span / >=20% of seconds covered" (Key.java:407,411): our time unit
+    # is frames; one "second" = coverage_bin frames.
+    coverage_bin: int = 2
+    min_match_span: int = 4           # frames (~2 coverage bins)
+    min_coverage: float = 0.2
+
+    # ---- results (Q16) -----------------------------------------------------
+    max_results: int = 10             # Key.java MAX_RESULTS analog
+
+    # ---- MinHash over caption shingles -------------------------------------
+    # north_star: "batched MinHash signatures ... over caption token shingles"
+    minhash_perms: int = 128
+    minhash_bands: int = 32           # 32 bands x 4 rows
+    minhash_shingle: int = 3          # token 3-grams
+    minhash_seed: int = 0x5EED
+    minhash_jaccard_threshold: float = 0.5
+
+    # ---- SimHash over caption token shingles --------------------------------
+    simhash_bits: int = 64
+    simhash_bands: int = 8            # 8 bands x 8 bits for candidate keys
+    simhash_hamming_threshold: int = 6
+
+    # ---- suffix-array substring channel -------------------------------------
+    substring_min_len: int = 24       # chars; exact substring containment
+
+    # ---- LSH / skew handling -------------------------------------------------
+    band_pair_cap: int = 64           # max ids per band key before hot-split
+    hot_band_salt: int = 8            # salt fanout for hot bands
+
+    # ---- connected components -------------------------------------------------
+    cc_max_iterations: int = 20
+
+    # ---- execution ------------------------------------------------------------
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 256
+
+    def with_(self, **kw) -> "PanakoConfig":
+        return replace(self, **kw)
+
+    @property
+    def freq_bins(self) -> int:
+        return self.freq_samples // 2
+
+    @property
+    def minhash_rows_per_band(self) -> int:
+        return self.minhash_perms // self.minhash_bands
+
+    @property
+    def simhash_bits_per_band(self) -> int:
+        return self.simhash_bits // self.simhash_bands
+
+
+DEFAULT_CONFIG = PanakoConfig()

@@ -1,0 +1,158 @@
+"""Image codecs: 'raw' (h*w*3 uint8, row-major) and 'png' (stdlib zlib).
+
+Reference analog: the ffmpeg decode pipe that turns any container into a
+canonical mono 16 kHz PCM stream (PanakoStrategy.java:223-237; pipe command
+Key.java:85). Here the canonical form is an (h, w, 3) uint8 array; both
+codecs are lossless so the decoded-pixel invariant (BASELINE.json
+input_hint: PSNR>=40dB for lossy, exact for lossless) is exact.
+
+No image libraries exist in this sandbox, so PNG is a minimal pure-Python
+RGB8 implementation (encode: filter 0; decode: all five standard filters).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> raw bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    return img.tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != h * w * 3:
+        raise ValueError(f"raw payload size {arr.size} != {h}x{w}x3")
+    return arr.reshape(h, w, 3)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (8-bit RGB, filter 0, one IDAT)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # prepend filter byte 0 to each scanline
+    scanlines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scanlines[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. raw is (h, 1+stride) uint8 incl filter byte."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitd, ctype = struct.unpack(">IIBB", payload[:10])
+            if bitd != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3
+    raw = raw.reshape(h, 1 + stride)
+    if np.all(raw[:, 0] == 0):  # fast path: our own encoder
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(img)
+    if fmt == "png":
+        return encode_png(img)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8. fmt in {'raw','png'}.
+
+    Unknown / undecodable formats (e.g. real-world jpeg at 100 TB scale)
+    would plug in here; the sandbox has no image libs so only the two
+    lossless codecs are real (SURVEY.md §7 environment facts).
+    """
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "png":
+        img = decode_png(data)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"PNG dims {img.shape[:2]} != metadata ({h},{w})")
+        return img
+    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> (h, w) float32 luma (BT.601)."""
+    f = img.astype(np.float32)
+    return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]

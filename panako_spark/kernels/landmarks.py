@@ -1,0 +1,139 @@
+"""Triplet landmark enumeration + scale-invariant 64-bit hash packing.
+
+Reference semantics:
+  * E6 — all ordered event-point triplets (p1, p2, p3) with consecutive
+    time gaps tDiff in [min_time_distance, max_time_distance] and
+    |fDiff| in [min_freq_distance, max_freq_distance]
+    (packEventPointsIntoFingerprints,
+    PanakoEventPointProcessor.java:239-283; bounds Key.java:296-310)
+  * E7 — 64-bit hash from *ratios and orderings* of the triplet so the
+    hash survives time-stretch / frequency shift
+    (PanakoFingerprint.java:231-273). Bit layout (high to low), same
+    field order as the reference:
+        [6b] round(64 * (t2-t1)/(t3-t1))
+        [1b] f1 > f2   [1b] f2 > f3   [1b] f3 > f1
+        [1b] m1 > m2   [1b] m2 > m3   [1b] m3 > m1
+        [1b] (t3-t2) > (t2-t1)
+        [1b] |f3-f2| > |f2-f1|
+        [8b] f1 >> 5
+        [6b] |f2-f1| >> 2
+        [6b] |f3-f2| >> 2
+    The low bits carry fine frequency deltas, so near-identical content
+    lands within ±query_range of the stored hash — which is exactly why
+    the reference probes [h-2, h+2] (Q1, Key.java:354).
+
+The stored projection per print is (hash, t1, f1), matching the
+reference's KV value layout (PanakoStorageKV.java:204-228).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from panako_spark.config import PanakoConfig
+
+PRINT_DTYPE = [("hash", np.int64), ("t1", np.int32), ("f1", np.int32)]
+
+
+def _valid_pairs(t: np.ndarray, f: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
+    """Boolean (n, n) matrix: pair (i, j) satisfies the E6 gap bounds."""
+    dt = t[None, :].astype(np.int64) - t[:, None]
+    df = np.abs(f[None, :].astype(np.int64) - f[:, None])
+    return (
+        (dt >= cfg.min_time_distance)
+        & (dt <= cfg.max_time_distance)
+        & (df >= cfg.min_freq_distance)
+        & (df <= cfg.max_freq_distance)
+    )
+
+
+def enumerate_triplets(t: np.ndarray, f: np.ndarray, cfg: PanakoConfig):
+    """-> (i, j, k) index arrays of valid triplets (windowed, bounded).
+
+    Peaks must be sorted by (t, f). The O(n^3) is bounded exactly like the
+    reference's early-break windows (PanakoEventPointProcessor.java:258,271):
+    only pairs within max_time_distance are considered.
+    """
+    n = t.size
+    if n < 3:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    valid = _valid_pairs(t, f, cfg)
+    pi, pj = np.nonzero(valid)
+    if pi.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # compose (i->j) with (j->k): group pair list by j
+    lefts: list[np.ndarray] = []   # i
+    mids: list[np.ndarray] = []    # j
+    rights: list[np.ndarray] = []  # k
+    # successors per node, from the same pair list
+    succ_start = np.searchsorted(pi, np.arange(n), side="left")
+    succ_end = np.searchsorted(pi, np.arange(n), side="right")
+    for j in np.unique(pj):
+        i_here = pi[pj == j]
+        k_here = pj[succ_start[j]:succ_end[j]]
+        if i_here.size and k_here.size:
+            lefts.append(np.repeat(i_here, k_here.size))
+            rights.append(np.tile(k_here, i_here.size))
+            mids.append(np.full(i_here.size * k_here.size, j, np.int64))
+    if not lefts:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return (np.concatenate(lefts), np.concatenate(mids),
+            np.concatenate(rights))
+
+
+def pack_hashes(
+    t1, f1, m1, t2, f2, m2, t3, f3, m3
+) -> np.ndarray:
+    """Vectorized E7 bit packing -> int64 hashes."""
+    t1 = t1.astype(np.int64); t2 = t2.astype(np.int64); t3 = t3.astype(np.int64)
+    f1 = f1.astype(np.int64); f2 = f2.astype(np.int64); f3 = f3.astype(np.int64)
+    span = np.maximum(t3 - t1, 1)
+    ratio_t = np.clip(np.rint(64.0 * (t2 - t1) / span).astype(np.int64), 0, 63)
+    df21 = np.abs(f2 - f1)
+    df32 = np.abs(f3 - f2)
+    h = ratio_t
+    for bit in (f1 > f2, f2 > f3, f3 > f1, m1 > m2, m2 > m3, m3 > m1,
+                (t3 - t2) > (t2 - t1), df32 > df21):
+        h = (h << 1) | bit.astype(np.int64)
+    h = (h << 8) | ((f1 >> 5) & 0xFF)
+    h = (h << 6) | ((df21 >> 2) & 0x3F)
+    h = (h << 6) | ((df32 >> 2) & 0x3F)
+    return h
+
+
+def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
+              cfg: PanakoConfig):
+    """Peaks -> prints (hash:int64, t1:int32, f1:int32), deduped + capped.
+
+    Dedup mirrors fingerprint equality "same hash and close t1"
+    (PanakoFingerprint.java:280-295) tightened to exact (hash, t1, f1)
+    row identity — duplicate KV rows carry no extra information.
+    """
+    i, j, k = enumerate_triplets(t, f, cfg)
+    if i.size == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    h = pack_hashes(t[i], f[i], m[i], t[j], f[j], m[j], t[k], f[k], m[k])
+    t1 = t[i].astype(np.int32)
+    f1 = f[i].astype(np.int32)
+    rows = np.stack([h, t1.astype(np.int64), f1.astype(np.int64)], axis=1)
+    rows = np.unique(rows, axis=0)
+    if rows.shape[0] > cfg.max_prints_per_image:
+        # deterministic cap in (t1, hash) order (reference caps hit lists)
+        order = np.lexsort((rows[:, 0], rows[:, 1]))[: cfg.max_prints_per_image]
+        rows = rows[np.sort(order)]
+    return (rows[:, 0].astype(np.int64), rows[:, 1].astype(np.int32),
+            rows[:, 2].astype(np.int32))
+
+
+def extract_prints(gray: np.ndarray, cfg: PanakoConfig):
+    """Full E1-E7 chain: luma image -> (hash, t1, f1) arrays."""
+    from panako_spark.kernels.spectral import spectrogram
+    from panako_spark.kernels.peaks import find_peaks
+
+    spec = spectrogram(gray, cfg)
+    t, f, m = find_peaks(spec, cfg)
+    return landmarks(t, f, m, cfg)

@@ -1,0 +1,114 @@
+"""Single-node reference-semantics matcher — the golden oracle.
+
+Implements the full store/query/dedup lifecycle of the reference on one
+node with exact pipeline semantics (store = build hash multimap like the
+LMDB table, query = ±query_range probe Q1 + avoid-set Q2 + group Q4 +
+verify Q5-Q13, dedup driver Q18). The Spark pipeline's dup-pair output is
+graded against this matcher's output (recall >= 0.99, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from panako_spark.config import PanakoConfig
+from panako_spark.kernels.landmarks import extract_prints
+from panako_spark.kernels.minhash import (
+    hash_shingles, jaccard, token_shingles,
+)
+from panako_spark.kernels.simhash import hamming, simhash
+from panako_spark.kernels.suffix import substring_pairs_golden
+from panako_spark.kernels.verify import MatchResult, verify_pair
+
+
+class GoldenMatcher:
+    """In-memory store + query engine (reference lifecycle, single node)."""
+
+    def __init__(self, cfg: PanakoConfig):
+        self.cfg = cfg
+        # hash -> list of (resource_id, t1, f1): the LMDB multimap analog
+        self._index: dict[int, list[tuple[str, int, int]]] = defaultdict(list)
+        self._prints: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    # -- store (entry point A) ------------------------------------------------
+    def store_image(self, image_id: str, gray: np.ndarray) -> int:
+        h, t1, f1 = extract_prints(gray, self.cfg)
+        self.store_prints(image_id, h, t1, f1)
+        return h.size
+
+    def store_prints(self, image_id: str, h, t1, f1) -> None:
+        self._prints[image_id] = (h, t1, f1)
+        for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
+            self._index[hh].append((image_id, tt, ff))
+
+    # -- query (entry point B) ------------------------------------------------
+    def query_prints(self, h, t1, f1, avoid: set[str]) -> dict[str, MatchResult]:
+        cfg = self.cfg
+        hits: dict[str, list[tuple[int, int, int, int]]] = defaultdict(list)
+        for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
+            for probe in range(hh - cfg.query_range, hh + cfg.query_range + 1):
+                for rid, rt, rf in self._index.get(probe, ()):  # Q1
+                    if rid in avoid:                            # Q2
+                        continue
+                    hits[rid].append((tt, ff, rt, rf))          # Q3/Q4
+        out: dict[str, MatchResult] = {}
+        for rid, rows in hits.items():
+            arr = np.array(rows, dtype=np.int64)
+            res = verify_pair(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], cfg)
+            if res is not None:
+                out[rid] = res
+        return out
+
+    # -- dedup driver (entry point C, Q18) -------------------------------------
+    def dedup_pairs(self) -> set[tuple[str, str]]:
+        pairs: set[tuple[str, str]] = set()
+        for qid, (h, t1, f1) in self._prints.items():
+            for rid in self.query_prints(h, t1, f1, avoid={qid}):
+                pairs.add((min(qid, rid), max(qid, rid)))
+        return pairs
+
+
+def caption_pairs_golden(captions: dict[str, str], cfg: PanakoConfig):
+    """Brute-force caption channels -> dict channel -> set of sorted pairs.
+
+    exact: identical caption; minhash: true Jaccard >= threshold;
+    simhash: Hamming <= threshold; substring: containment (suffix.py).
+    """
+    ids = sorted(captions)
+    sh = {i: hash_shingles(token_shingles(captions[i], cfg.minhash_shingle))
+          for i in ids}
+    sim = {i: int(simhash(sh[i])) for i in ids}
+    exact, mh, smh = set(), set(), set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            if captions[ia] == captions[ib]:
+                exact.add((ia, ib))
+            if jaccard(sh[ia], sh[ib]) >= cfg.minhash_jaccard_threshold:
+                mh.add((ia, ib))
+            if hamming(sim[ia], sim[ib]) <= cfg.simhash_hamming_threshold:
+                smh.add((ia, ib))
+    sub = substring_pairs_golden(captions, cfg.substring_min_len)
+    return {"caption_exact": exact, "minhash": mh, "simhash": smh,
+            "caption_substring": sub}
+
+
+def connected_components_golden(pairs: set[tuple[str, str]],
+                                all_ids: list[str]) -> dict[str, str]:
+    """Union-find min-label components — oracle for the Spark CC loop."""
+    parent: dict[str, str] = {i: i for i in all_ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in all_ids}

@@ -1,0 +1,63 @@
+"""Image -> time/frequency field (the spectrogram analog).
+
+Reference: audio is framed and transformed to a 2-D magnitude field — Olaf:
+FFT(1024)+Hamming power spectrum (OlafEventPointProcessor.java:99-133,
+166-181); Panako: 512-bin constant-Q Gabor (PanakoEventPointProcessor.java:
+105,120-125). Our image analog (SURVEY.md E1/E2, north_star "2D-FFT
+spectral event points"):
+
+  * time axis  = horizontal position: frames of `frame_width` columns,
+    hop `frame_step` (E1 framing)
+  * each frame's column-mean profile is resampled to a fixed
+    `freq_samples` length and rfft'd; |coeffs| of bins 1..freq_bins is the
+    frame's "spectrum" (E2)
+
+Properties this buys (mirrors the reference's robustness goals):
+  * horizontal crop        -> pure time offset   (handled by ΔT alignment)
+  * vertical translation   -> phase change only  (magnitude invariant)
+  * brightness offset      -> DC bin only        (bin 0 dropped)
+  * uniform/anisotropic rescale -> time-stretch / frequency shift
+    (handled by the scale-invariant triplet hash, E7)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from panako_spark.config import PanakoConfig
+
+
+def _resample_rows(mat: np.ndarray, n_out: int) -> np.ndarray:
+    """Linear-resample each row of (n, m) to (n, n_out)."""
+    n, m = mat.shape
+    if m == n_out:
+        return mat
+    # sample positions in source coordinates
+    pos = np.linspace(0.0, m - 1.0, n_out)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, m - 1)
+    w1 = (pos - i0).astype(mat.dtype)
+    return mat[:, i0] * (1.0 - w1) + mat[:, i1] * w1
+
+
+def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
+    """(h, w) float32 luma -> (n_frames, freq_bins) float32 log-magnitude."""
+    h, w = gray.shape
+    fw, step = cfg.frame_width, cfg.frame_step
+    if w < fw:  # pad narrow images to one frame
+        gray = np.pad(gray, ((0, 0), (0, fw - w)), mode="edge")
+        w = fw
+    n_frames = 1 + (w - fw) // step
+    # column-mean profile per frame: (n_frames, h)
+    starts = np.arange(n_frames) * step
+    # cumulative sum along x for O(1) window means
+    csum = np.concatenate(
+        [np.zeros((h, 1), np.float64), np.cumsum(gray, axis=1, dtype=np.float64)],
+        axis=1,
+    )
+    profiles = ((csum[:, starts + fw] - csum[:, starts]) / fw).T  # (n_frames, h)
+    profiles = _resample_rows(profiles, cfg.freq_samples)
+    # remove per-frame mean (brightness invariance beyond the DC drop)
+    profiles -= profiles.mean(axis=1, keepdims=True)
+    spec = np.abs(np.fft.rfft(profiles, axis=1))[:, 1 : cfg.freq_bins + 1]
+    return np.log1p(spec).astype(np.float32)

@@ -1,0 +1,272 @@
+"""Kernel unit tests (SURVEY.md §5 test strategy, layer 1)."""
+
+import numpy as np
+import pytest
+
+from panako_spark.config import PanakoConfig
+from panako_spark.kernels import codec, landmarks, minhash, peaks, simhash, \
+    spectral, suffix, verify
+from panako_spark.data import synth
+
+
+# ---------------------------------------------------------------- codec ----
+def test_raw_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(codec.decode(codec.encode(img, "raw"), 47, 33, "raw"), img)
+
+
+def test_png_roundtrip_lossless():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    data = codec.encode(img, "png")
+    out = codec.decode(data, 80, 64, "png")
+    assert np.array_equal(out, img)
+    assert codec.psnr(img, out) == float("inf")
+
+
+def test_png_decode_filtered_scanlines():
+    """Decoder handles Sub/Up/Average/Paeth filters, not just our filter-0."""
+    import struct, zlib
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    # hand-build with filter 1 (Sub) on every line
+    lines = []
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        enc = row.copy()
+        enc[3:] = (row[3:] - row[:-3]) % 256
+        lines.append(b"\x01" + enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n"
+            + codec._chunk(b"IHDR", ihdr)
+            + codec._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + codec._chunk(b"IEND", b""))
+    assert np.array_equal(codec.decode_png(data), img)
+
+
+def test_psnr_noise():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    noisy = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+    assert 30 < codec.psnr(img, noisy) < 60
+
+
+# ------------------------------------------------------------- max filter ---
+def test_max_filter_matches_naive_oracle(cfg):
+    """Vectorized separable filter == reference-style naive oracle
+    (OlafEventPointProcessor.java:149-163 pattern)."""
+    rng = np.random.default_rng(4)
+    mat = rng.random((40, 32)).astype(np.float32)
+    got = peaks.max_filter_2d(mat, 7, 9)
+    want = peaks.naive_max_filter(mat, 7, 9)
+    assert np.array_equal(got, want)
+
+
+def test_peaks_are_local_maxima(cfg):
+    rng = np.random.default_rng(5)
+    img = synth._base_image(rng)
+    spec = spectral.spectrogram(codec.to_gray(img), cfg)
+    t, f, m = peaks.find_peaks(spec, cfg)
+    assert t.size > 0
+    filt = peaks.max_filter_2d(spec, cfg.max_filter_time, cfg.max_filter_freq)
+    assert np.all(spec[t, f] >= filt[t, f])
+    assert t.size <= cfg.max_peaks_per_image
+
+
+# --------------------------------------------------------------- landmarks --
+def test_triplet_bounds(cfg):
+    t = np.array([0, 3, 6, 50], dtype=np.int32)
+    f = np.array([10, 20, 30, 40], dtype=np.int32)
+    i, j, k = landmarks.enumerate_triplets(t, f, cfg)
+    # only (0,1,2) is valid: gaps 3,3 within [2,33]; index 3 is 44 away
+    assert list(zip(i, j, k)) == [(0, 1, 2)]
+
+
+def test_hash_known_value():
+    """Golden bit-layout vector (layout cited from
+    PanakoFingerprint.java:231-273)."""
+    h = landmarks.pack_hashes(
+        *(np.array([v]) for v in [0, 10, 5.0, 4, 30, 6.0, 8, 20, 4.0]))
+    # ratio_t = round(64*4/8)=32; bits f1>f2:0 f2>f3:1 f3>f1:1 m1>m2:0
+    # m2>m3:1 m3>m1:0 ; (t3-t2)=4 > (t2-t1)=4 -> 0 ; |f3-f2|=10>|f2-f1|=20 ->0
+    # f1>>5=0 ; 20>>2=5 ; 10>>2=2
+    want = (((32 << 8 | 0b01101000) << 8 | 0) << 6 | 5) << 6 | 2
+    assert int(h[0]) == want
+
+
+def test_hash_scale_invariance(cfg):
+    """Uniform time-stretch of a triplet keeps the hash within ±range
+    (the scale-invariance property the reference's E7 encoding targets)."""
+    t1, t2, t3 = 10, 18, 26
+    f = np.array([40, 60, 50])
+    m = np.array([1.0, 2.0, 3.0])
+    base = landmarks.pack_hashes(
+        np.array([t1]), f[:1], m[:1], np.array([t2]), f[1:2], m[1:2],
+        np.array([t3]), f[2:3], m[2:3])[0]
+    for factor in (0.9, 1.1):
+        ts = [int(round(t * factor)) for t in (t1, t2, t3)]
+        hh = landmarks.pack_hashes(
+            np.array(ts[:1]), f[:1], m[:1], np.array(ts[1:2]), f[1:2], m[1:2],
+            np.array(ts[2:3]), f[2:3], m[2:3])[0]
+        assert abs(int(hh) - int(base)) <= 2 * cfg.query_range
+
+
+def test_extract_prints_end_to_end(cfg):
+    rng = np.random.default_rng(6)
+    img = synth._base_image(rng)
+    h, t1, f1 = landmarks.extract_prints(codec.to_gray(img), cfg)
+    assert h.size > 0
+    assert h.size <= cfg.max_prints_per_image
+    assert h.dtype == np.int64 and t1.dtype == np.int32
+
+
+# ----------------------------------------------------------------- minhash --
+def test_minhash_identical_and_disjoint(cfg):
+    a = minhash.hash_shingles(minhash.token_shingles("a b c d e f g h", 3))
+    b = minhash.hash_shingles(minhash.token_shingles("a b c d e f g h", 3))
+    c = minhash.hash_shingles(minhash.token_shingles("x y z q r s t u", 3))
+    sa = minhash.minhash_signature(a, cfg)
+    sb = minhash.minhash_signature(b, cfg)
+    sc = minhash.minhash_signature(c, cfg)
+    assert np.array_equal(sa, sb)
+    assert minhash.signature_jaccard(sa, sc) < 0.2
+
+
+def test_minhash_estimates_jaccard(cfg):
+    rng = np.random.default_rng(7)
+    toks = [f"t{i}" for i in range(100)]
+    t2 = toks.copy()
+    for i in rng.choice(100, 20, replace=False):
+        t2[int(i)] = f"x{i}"
+    a = minhash.hash_shingles(minhash.token_shingles(" ".join(toks), 3))
+    b = minhash.hash_shingles(minhash.token_shingles(" ".join(t2), 3))
+    true_j = minhash.jaccard(a, b)
+    est = minhash.signature_jaccard(minhash.minhash_signature(a, cfg),
+                                    minhash.minhash_signature(b, cfg))
+    assert abs(true_j - est) < 0.15
+
+
+def test_minhash_batch_matches_single(cfg):
+    texts = ["a b c d e", "f g h i j k", "", "a b c d e f"]
+    lists = [minhash.hash_shingles(minhash.token_shingles(t, 3)) for t in texts]
+    batch = minhash.minhash_signature_batch(lists, cfg)
+    for i, hl in enumerate(lists):
+        assert np.array_equal(batch[i], minhash.minhash_signature(hl, cfg))
+
+
+def test_band_keys_shape(cfg):
+    sig = minhash.minhash_signature(
+        minhash.hash_shingles(minhash.token_shingles("a b c d e", 3)), cfg)
+    keys = minhash.band_keys(sig, cfg)
+    assert keys.shape == (1, cfg.minhash_bands)
+
+
+# ----------------------------------------------------------------- simhash --
+def test_simhash_near_vs_far(cfg):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "idle")
+    far = " ".join(f"z{i}" for i in range(40))
+    hb = simhash.simhash(minhash.hash_shingles(minhash.token_shingles(base, 3)))
+    hn = simhash.simhash(minhash.hash_shingles(minhash.token_shingles(near, 3)))
+    hf = simhash.simhash(minhash.hash_shingles(minhash.token_shingles(far, 3)))
+    assert simhash.hamming(hb, hn) < simhash.hamming(hb, hf)
+    assert simhash.hamming(hb, hb) == 0
+
+
+def test_hamming_batch():
+    a = np.array([0, -1, 12345], dtype=np.int64)
+    b = np.array([0, 0, 12345], dtype=np.int64)
+    assert list(simhash.hamming_batch(a, b)) == [0, 64, 0]
+
+
+def test_simhash_band_keys(cfg):
+    fp = np.array([123456789], dtype=np.int64)
+    keys = simhash.simhash_band_keys(fp, cfg)
+    assert keys.shape == (1, cfg.simhash_bands)
+    assert len(set(keys[0].tolist())) >= 2
+
+
+# ------------------------------------------------------------------ suffix --
+def test_suffix_array_known():
+    s = "banana"
+    sa = suffix.suffix_array(s)
+    assert [s[i:] for i in sa] == sorted(s[i:] for i in range(len(s)))
+
+
+def test_lcp_array():
+    s = "banana"
+    sa = suffix.suffix_array(s)
+    lcp = suffix.lcp_array(s, sa)
+    suffixes = [s[i:] for i in sa]
+    for i in range(1, len(s)):
+        a, b = suffixes[i - 1], suffixes[i]
+        want = len(a) - len(a.lstrip(''))  # compute manually below
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        assert lcp[i] == n
+
+
+def test_rolling_hash_detects_shared_window():
+    a = "the same exact long shared substring content here"
+    b = "prefix junk " + a + " suffix junk"
+    ha = suffix.rolling_hashes(a, 24)
+    hb = suffix.rolling_hashes(b, 24)
+    assert np.intersect1d(ha, hb).size == ha.size  # every window of a in b
+
+
+def test_winnow_guarantee():
+    rng = np.random.default_rng(8)
+    shared = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 64))
+    a = "xx" + shared + "yy"
+    b = "qqqq" + shared + "rr"
+    fa = suffix.fingerprints(a, 24, 8)
+    fb = suffix.fingerprints(b, 24, 8)
+    assert np.intersect1d(fa, fb).size > 0  # shares >= 24+8-1 chars
+
+
+# ------------------------------------------------------------------ verify --
+def _hits_for_line(n, slope=1.0, offset=5, noise=0, seed=0):
+    rng = np.random.default_rng(seed)
+    q_t = np.sort(rng.integers(0, 60, n))
+    r_t = (slope * q_t + offset + rng.integers(-noise, noise + 1, n)).astype(int)
+    q_f = rng.integers(0, 128, n)
+    return q_t, q_f, r_t, q_f.copy()
+
+
+def test_verify_accepts_aligned(cfg):
+    q_t, q_f, r_t, r_f = _hits_for_line(40, 1.0, 5)
+    res = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
+    assert res is not None
+    assert res.score >= cfg.min_filtered_hits
+    assert 0.95 < res.time_factor < 1.05
+
+
+def test_verify_rejects_too_few_hits(cfg):
+    q_t, q_f, r_t, r_f = _hits_for_line(cfg.min_unfiltered_hits - 1)
+    assert verify.verify_pair(q_t, q_f, r_t, r_f, cfg) is None
+
+
+def test_verify_rejects_random_scatter(cfg):
+    rng = np.random.default_rng(9)
+    n = 40
+    q_t = rng.integers(0, 60, n)
+    r_t = rng.integers(0, 60, n)
+    q_f = rng.integers(0, 128, n)
+    r_f = rng.integers(0, 128, n)
+    res = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
+    assert res is None or res.score < n // 2
+
+
+def test_verify_rejects_bad_time_factor(cfg):
+    q_t, q_f, r_t, r_f = _hits_for_line(40, 2.0, 0)  # 2x stretch > 1.2 gate
+    assert verify.verify_pair(q_t, q_f, r_t, r_f, cfg) is None
+
+
+def test_verify_time_stretch_within_gate(cfg):
+    q_t, q_f, r_t, r_f = _hits_for_line(40, 1.1, 3)
+    res = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
+    assert res is not None
+    assert 1.05 < res.time_factor < 1.15
