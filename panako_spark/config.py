@@ -53,6 +53,10 @@ class PanakoConfig:
 
     # ---- near-hash probe (Q1) ----------------------------------------------
     query_range: int = 2          # Key.java:354 PANAKO_QUERY_RANGE
+    # stop-word hashes: drop landmark hashes present in more than this many
+    # distinct images (web-scale noise amplifier guard; applied identically
+    # in the golden matcher so parity holds). <=0 disables.
+    hash_max_images: int = 1024
 
     # ---- match gates (Q5, Q10-Q13) -----------------------------------------
     min_unfiltered_hits: int = 10     # Key.java:359

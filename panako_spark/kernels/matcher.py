@@ -43,12 +43,32 @@ class GoldenMatcher:
         for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
             self._index[hh].append((image_id, tt, ff))
 
+    def _hot_hashes(self) -> set[int]:
+        """Stop-word hashes (> hash_max_images distinct images) — the same
+        rule the Spark candidates stage applies (candidates.hot_hash_filter),
+        so golden/pipeline parity holds at any scale. Memoized per index
+        size."""
+        cap = self.cfg.hash_max_images
+        if cap <= 0:
+            return set()
+        key = (cap, len(self._prints))
+        if getattr(self, "_hot_cache_key", None) != key:
+            self._hot_cache = {hh for hh, rows in self._index.items()
+                               if len({rid for rid, _, _ in rows}) > cap}
+            self._hot_cache_key = key
+        return self._hot_cache
+
     # -- query (entry point B) ------------------------------------------------
     def query_prints(self, h, t1, f1, avoid: set[str]) -> dict[str, MatchResult]:
         cfg = self.cfg
+        hot = self._hot_hashes()
         hits: dict[str, list[tuple[int, int, int, int]]] = defaultdict(list)
         for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
+            if hh in hot:
+                continue
             for probe in range(hh - cfg.query_range, hh + cfg.query_range + 1):
+                if probe in hot:
+                    continue
                 for rid, rt, rf in self._index.get(probe, ()):  # Q1
                     if rid in avoid:                            # Q2
                         continue
@@ -73,26 +93,60 @@ class GoldenMatcher:
 def caption_pairs_golden(captions: dict[str, str], cfg: PanakoConfig):
     """Brute-force caption channels -> dict channel -> set of sorted pairs.
 
-    exact: identical caption; minhash: true Jaccard >= threshold;
-    simhash: Hamming <= threshold; substring: containment (suffix.py).
+    Channel semantics are EXACTLY the distributed algorithm's (that is
+    what parity means): minhash = >=1 shared LSH band AND
+    signature-estimated Jaccard >= threshold (the signatures are
+    deterministic, so both sides compute identical values); simhash =
+    >=1 shared bit-band AND Hamming <= threshold; exact = identical
+    caption; substring = containment over the winnowing-detectable length.
+    `true_jaccard_pairs` below gives the statistical ground truth used in
+    quality (not parity) tests.
     """
+    from panako_spark.kernels.minhash import (
+        band_keys, minhash_signature, signature_jaccard,
+    )
+    from panako_spark.kernels.simhash import simhash_band_keys
+
     ids = sorted(captions)
     sh = {i: hash_shingles(token_shingles(captions[i], cfg.minhash_shingle))
           for i in ids}
+    sig = {i: minhash_signature(sh[i], cfg) for i in ids}
+    bands = {i: set(band_keys(sig[i], cfg)[0].tolist()) for i in ids}
     sim = {i: int(simhash(sh[i])) for i in ids}
+    sbands = {i: set(simhash_band_keys(np.array([sim[i]]), cfg)[0].tolist())
+              for i in ids}
     exact, mh, smh = set(), set(), set()
     for a in range(len(ids)):
         for b in range(a + 1, len(ids)):
             ia, ib = ids[a], ids[b]
             if captions[ia] == captions[ib]:
                 exact.add((ia, ib))
-            if jaccard(sh[ia], sh[ib]) >= cfg.minhash_jaccard_threshold:
+            if (bands[ia] & bands[ib]) and (
+                    signature_jaccard(sig[ia], sig[ib])
+                    >= cfg.minhash_jaccard_threshold):
                 mh.add((ia, ib))
-            if hamming(sim[ia], sim[ib]) <= cfg.simhash_hamming_threshold:
+            if (sbands[ia] & sbands[ib]) and (
+                    hamming(sim[ia], sim[ib])
+                    <= cfg.simhash_hamming_threshold):
                 smh.add((ia, ib))
     sub = substring_pairs_golden(captions, cfg.substring_min_len)
     return {"caption_exact": exact, "minhash": mh, "simhash": smh,
             "caption_substring": sub}
+
+
+def true_jaccard_pairs(captions: dict[str, str], cfg: PanakoConfig
+                       ) -> set[tuple[str, str]]:
+    """Exact shingle-set Jaccard >= threshold (statistical ground truth)."""
+    ids = sorted(captions)
+    sh = {i: hash_shingles(token_shingles(captions[i], cfg.minhash_shingle))
+          for i in ids}
+    out = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            if jaccard(sh[ia], sh[ib]) >= cfg.minhash_jaccard_threshold:
+                out.add((ia, ib))
+    return out
 
 
 def connected_components_golden(pairs: set[tuple[str, str]],

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators:
+  * brute-force cosine top-k — the exact baseline, all math JVM-side via
+    zip_with + aggregate in double precision (whole-stage codegen; no
+    Python in the plan)
+  * LSH-bucketed variant (random-hyperplane signs) — the scale path: at
+    10^9 vectors the cross join is infeasible; bucket by sign-pattern
+    bands and search within buckets (same banding machinery as SimHash)
+  * cosine near-dup pairs — embedding-based near-duplicate channel
+
+Deterministic hyperplanes come from splitmix64 streams (no RNG at plan
+time), so results are reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cosine(a: str, b: str):
+    """Column expr: cosine of two array<float> columns in double."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double")
+                                 * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") ** 2))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") ** 2))
+    return dot / (na * nb)
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for the first n_queries vectors.
+
+    The query side is broadcast (tiny); the corpus scan is one pass.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", _cosine("qe", "ce")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk"))
+
+
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup channel).
+
+    Exact all-pairs at oracle scale; see `lsh_bucketed_neighbors` for the
+    candidate-bucketed form used at scale.
+    """
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", _cosine("ea", "eb"))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 0xA55) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 -> N(0,1)-ish
+    (sum of 2 uniforms, centered) — reproducible without RNG state."""
+    u64 = np.uint64
+    idx = np.arange(n_bits * dim, dtype=np.uint64) + u64(seed)
+    with np.errstate(over="ignore"):
+        z = idx * u64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> u64(30))) * u64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> u64(27))) * u64(0x94D049BB133111EB)
+        z = z ^ (z >> u64(31))
+    u = z.astype(np.float64) / float(2 ** 64)
+    return (u - 0.5).reshape(n_bits, dim)
+
+
+def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str,
+                           n_bits: int = 16, bands: int = 4,
+                           threshold: float = 0.9) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets -> within-bucket exact
+    cosine. Collision probability per bit = 1 - angle/pi; banding the
+    sign pattern (bands x n_bits/bands) trades recall vs candidates
+    exactly like the MinHash bands (candidates.pairs_from_keys pattern).
+    """
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _hyperplanes(dim, n_bits)
+    # sign bits via a literal array of hyperplanes: JVM-side dot products
+    plane_lits = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+    bits_per_band = n_bits // bands
+    sig = emb.withColumn(
+        "_bits",
+        F.transform(plane_lits, lambda p: F.aggregate(
+            F.zip_with(F.col("embedding"), p,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, v: a + v) > 0))
+    band_cols = [
+        F.concat_ws("", F.lit(f"b{b}:"), *[
+            F.col("_bits")[b * bits_per_band + i].cast("int").cast("string")
+            for i in range(bits_per_band)]).alias(f"band{b}")
+        for b in range(bands)]
+    keyed = (sig.select("vec_id", "embedding", F.array(*band_cols).alias("_bk"))
+             .select("vec_id", "embedding", F.explode("_bk").alias("key")))
+    a = keyed.select(F.col("key"), F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("ea"))
+    b = keyed.select(F.col("key"), F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("eb"))
+    return (a.join(b, "key")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ea", "eb").distinct()
+            .withColumn("cos", _cosine("ea", "eb"))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

@@ -1,0 +1,182 @@
+"""Candidate generation: four channels, all JVM-side DataFrame ops.
+
+Channels (SURVEY.md §7 step 5 / north_star):
+  landmark  — ±query_range near-hash self-join on the prints table
+              (reference Q1, PanakoStorageKV.java:293-379, re-expressed as
+              explode(sequence(h-r, h+r)) + equi-join so Catalyst runs a
+              plain shuffled hash join instead of a band join)
+  minhash   — LSH band-key explode + salted self-join (hot-band split)
+  simhash   — bit-band keys, same pairing primitive
+  caption_exact / caption_substring — caption hash / winnowed rolling-hash
+              fingerprint keys, same pairing primitive
+
+Skew (north_rule "hot-band splitting"): `pairs_from_keys` counts members
+per key; keys above `band_pair_cap` are split into ceil(n/cap) salted
+sub-keys — pairing happens within sub-keys only, the dropped cross-salt
+pair count is reported (never silently) via the returned stats row.
+At 10^12 rows the hot keys are blank images / boilerplate captions; capping
+them is the difference between a job that finishes and one that doesn't.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from panako_spark.config import PanakoConfig
+
+
+def pairs_from_keys(keyed: DataFrame, cap: int,
+                    key_col: str = "key", id_col: str = "image_id"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(key, id) -> distinct candidate pairs (id_a < id_b) + band stats.
+
+    Hot keys (> cap members) are salted into ceil(n/cap) sub-buckets by
+    xxhash64(id); pairs form within sub-buckets only. Returns
+    (pairs, stats) where stats has one row:
+    (n_keys, n_hot_keys, dropped_cross_pairs_estimate).
+    """
+    counts = keyed.groupBy(key_col).agg(F.count("*").alias("_n"))
+    keyed2 = keyed.join(counts, key_col)
+    n_salt = F.ceil(F.col("_n") / cap).cast("int")
+    salted = keyed2.withColumn(
+        "_salt",
+        F.when(F.col("_n") > cap,
+               F.pmod(F.xxhash64(F.col(id_col)), n_salt)).otherwise(F.lit(0)))
+    a = salted.select(F.col(key_col).alias("_k"), F.col("_salt"),
+                      F.col(id_col).alias("id_a"))
+    b = salted.select(F.col(key_col).alias("_k"), F.col("_salt"),
+                      F.col(id_col).alias("id_b"))
+    pairs = (a.join(b, ["_k", "_salt"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.count(F.when(F.col("_n") > cap, 1)).alias("n_hot_keys"),
+        F.coalesce(F.sum(F.when(
+            F.col("_n") > cap,
+            (F.col("_n") * (F.col("_n") - 1) / 2
+             - F.ceil(F.col("_n") / cap)
+             * (F.floor(F.col("_n") / F.ceil(F.col("_n") / cap))
+                * (F.floor(F.col("_n") / F.ceil(F.col("_n") / cap)) - 1) / 2))
+            .cast("long"))), F.lit(0)).alias("dropped_cross_pairs_estimate"))
+    return pairs, stats
+
+
+# --------------------------------------------------------------- landmark ---
+def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig) -> DataFrame:
+    """Drop stop-word hashes present in > hash_max_images images.
+
+    The golden matcher applies the identical rule (same config) so parity
+    is preserved; at web scale these hashes are pure noise amplifiers.
+    """
+    if cfg.hash_max_images <= 0:
+        return prints
+    hot = (prints.groupBy("hash")
+           .agg(F.countDistinct("image_id").alias("_imgs"))
+           .where(F.col("_imgs") > cfg.hash_max_images)
+           .select("hash"))
+    return prints.join(hot, "hash", "left_anti")
+
+
+def landmark_hits(prints: DataFrame, cfg: PanakoConfig) -> DataFrame:
+    """prints -> raw hit list per candidate pair (canonical id_a < id_b).
+
+    The ±range probe relation |h_a - h_b| <= query_range is symmetric, so
+    probing from the lexicographically smaller id only (id_a < id_b)
+    enumerates exactly the union of both query directions of the
+    reference's dedup driver (Deduplication.java:98-108) — verify runs
+    both orientations downstream.
+    """
+    p = hot_hash_filter(prints, cfg)
+    r = cfg.query_range
+    probe = (p.select(
+        F.col("image_id").alias("id_a"),
+        F.col("t1").alias("a_t"), F.col("f1").alias("a_f"),
+        F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
+        .alias("probe_hash")))
+    ref = p.select(F.col("image_id").alias("id_b"),
+                   F.col("hash").alias("probe_hash"),
+                   F.col("t1").alias("b_t"), F.col("f1").alias("b_f"))
+    return (probe.join(ref, "probe_hash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
+
+
+def prefilter_hits(hits: DataFrame, cfg: PanakoConfig) -> DataFrame:
+    """Q5 as a relational pre-gate: drop pairs with < min_unfiltered_hits
+    raw hits before the Python verify kernel sees them (HAVING count>=K).
+    Same hash-partitioning as the downstream applyInPandas groupBy, so AQE
+    plans one shuffle."""
+    gated = (hits.groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("_n"))
+             .where(F.col("_n") >= cfg.min_unfiltered_hits)
+             .select("id_a", "id_b"))
+    return hits.join(gated, ["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------- caption ---
+def minhash_pairs(signatures: DataFrame, cfg: PanakoConfig
+                  ) -> tuple[DataFrame, DataFrame]:
+    """LSH band candidates verified by signature-estimated Jaccard —
+    zip_with + aggregate keeps the estimate inside whole-stage codegen."""
+    keyed = signatures.select(
+        "image_id", F.explode("mh_bands").alias("key"))
+    cand, stats = pairs_from_keys(keyed, cfg.band_pair_cap)
+    sig = signatures.select("image_id", "minhash")
+    a = sig.select(F.col("image_id").alias("id_a"),
+                   F.col("minhash").alias("_ma"))
+    b = sig.select(F.col("image_id").alias("id_b"),
+                   F.col("minhash").alias("_mb"))
+    est = (cand.join(a, "id_a").join(b, "id_b")
+           .withColumn("jaccard_est",
+                       F.aggregate(
+                           F.zip_with("_ma", "_mb",
+                                      lambda x, y: (x == y).cast("int")),
+                           F.lit(0),
+                           lambda acc, v: acc + v)
+                       / F.lit(cfg.minhash_perms)))
+    out = (est.where(F.col("jaccard_est") >= cfg.minhash_jaccard_threshold)
+           .select("id_a", "id_b", "jaccard_est"))
+    return out, stats
+
+
+def simhash_pairs(signatures: DataFrame, cfg: PanakoConfig
+                  ) -> tuple[DataFrame, DataFrame]:
+    keyed = signatures.select("image_id", F.explode("sh_bands").alias("key"))
+    cand, stats = pairs_from_keys(keyed, cfg.band_pair_cap)
+    s = signatures.select("image_id", "simhash")
+    a = s.select(F.col("image_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = s.select(F.col("image_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    out = (cand.join(a, "id_a").join(b, "id_b")
+           .withColumn("hamming",
+                       F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+           .where(F.col("hamming") <= cfg.simhash_hamming_threshold)
+           .select("id_a", "id_b", "hamming"))
+    return out, stats
+
+
+def caption_exact_pairs(signatures: DataFrame, cfg: PanakoConfig
+                        ) -> tuple[DataFrame, DataFrame]:
+    keyed = signatures.select("image_id", F.col("caption_hash").alias("key"))
+    return pairs_from_keys(keyed, cfg.band_pair_cap)
+
+
+def caption_substring_pairs(signatures: DataFrame, images: DataFrame,
+                            cfg: PanakoConfig) -> tuple[DataFrame, DataFrame]:
+    """Winnowed rolling-hash fingerprint keys; exact containment verify.
+
+    Only candidate pairs (a tiny set) join back to the captions — the full
+    caption column never shuffles.
+    """
+    keyed = signatures.select("image_id", F.explode("substr_fps").alias("key"))
+    cand, stats = pairs_from_keys(keyed, cfg.band_pair_cap)
+    caps = images.select("image_id", "caption")
+    a = caps.select(F.col("image_id").alias("id_a"), F.col("caption").alias("_ca"))
+    b = caps.select(F.col("image_id").alias("id_b"), F.col("caption").alias("_cb"))
+    thresh = cfg.substring_min_len + 8 - 1  # winnow window w=8 (suffix.py)
+    out = (cand.join(a, "id_a").join(b, "id_b")
+           .where(((F.length("_ca") >= thresh) & F.contains("_cb", "_ca"))
+                  | ((F.length("_cb") >= thresh) & F.contains("_ca", "_cb")))
+           .select("id_a", "id_b"))
+    return out, stats

