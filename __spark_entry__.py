@@ -3,36 +3,268 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Operator coverage mapping (SURVEY.md §2): each query's docstring-free
+name encodes the operator it exercises; implementations live in
+panako_spark/operators, panako_spark/functions, and the image-dedup
+pipeline stages under panako_spark/stages.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from panako_spark.functions import text as TXT
+from panako_spark.operators import ann as ANN
+from panako_spark.operators import dedup as DD
+from panako_spark.operators import relational as R
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact n-gram-Jaccard near-duplicate pairs over documents
+    (the oracle-checkable sibling of the MinHash dedup channel)."""
+    return TXT.ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+
+
+def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-SQL showcase: the full image+caption dedup pipeline on a tiny
+    deterministic synthetic corpus (rows-only check). sf_dir is unused —
+    the corpus is generated, per FIXTURES.md."""
+    import tempfile
+
+    from panako_spark.config import PanakoConfig
+    from panako_spark.data.synth import generate_corpus, rows_to_pandas
+    from panako_spark.io.checkpoint import CheckpointStore
+    from panako_spark.pipeline import run_pipeline
+
+    rows, _ = generate_corpus(10, dup_fraction=0.5, seed=7)
+    images = spark.createDataFrame(rows_to_pandas(rows))
+    store = CheckpointStore(tempfile.mkdtemp(prefix="panako_smoke_"))
+    res = run_pipeline(spark, images, store, PanakoConfig())
+    return res.dup_pairs
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operators (SURVEY.md §2.3/§2.4) ---
+        "stats_scan": R.stats_scan,                      # S9
+        "min_hits_gate": R.min_hits_gate,                # Q5
+        "head_tail_sublist": R.head_tail_sublist,        # Q7
+        "delta_t_mode": R.delta_t_mode,                  # Q8
+        "topk_per_group": R.topk_per_group,              # Q16
+        "near_hash_band_join": R.near_hash_band_join,    # Q1
+        "avoid_filter": R.avoid_filter,                  # Q2
+        "resource_lookup_join": R.resource_lookup_join,  # Q20
+        "coverage_histogram": R.coverage_histogram,      # Q13
+        "windowed_monitor": R.windowed_monitor,          # Q14
+        # --- text analysis / dedup family (training-data pipeline) ---
+        "token_count": TXT.token_count,
+        "quality_score": TXT.quality_score,
+        "lang_id": TXT.lang_id,
+        "doc_fingerprint": TXT.doc_fingerprint,
+        "prefix_dup_groups": TXT.prefix_dup_groups,
+        "ngram_jaccard_pairs": TXT.ngram_jaccard_pairs,
+        # --- similarity search / embedding dedup ---
+        "embedding_topk": ANN.cosine_topk_bruteforce,
+        "embedding_near_dup": ANN.cosine_near_dup_pairs,
+        "embedding_lsh_neighbors": ANN.lsh_bucketed_neighbors,  # rows-only
+        # --- signature operators (non-SQL; rows-only checks) ---
+        "minhash_dup_pairs_docs": DD.minhash_dup_pairs,
+        "simhash_dup_pairs_docs": DD.simhash_dup_pairs,
+        # --- full image pipeline smoke (non-SQL; rows-only) ---
+        "image_dedup_pipeline": _image_dedup_smoke,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_scan": """
+            SELECT count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   avg(l_quantity) AS avg_qty
+            FROM lineitem
+        """,
+        "min_hits_gate": """
+            SELECT l_orderkey, count(*) AS n_hits
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5
+        """,
+        "head_tail_sublist": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_linenumber
+                       FROM lineitem),
+            r AS (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber ASC) AS ra,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber DESC) AS rd
+              FROM d)
+            SELECT l_orderkey, l_linenumber FROM r WHERE ra <= 2 OR rd <= 2
+        """,
+        "delta_t_mode": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type),
+            r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type ASC) AS rk
+              FROM c)
+            SELECT user_id, event_type AS mode_event FROM r WHERE rk = 1
+        """,
+        "topk_per_group": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders)
+            SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3
+        """,
+        "near_hash_band_join": """
+            WITH h AS (
+              SELECT p_partkey, (p_partkey * 2654435761) % 1000 AS h
+              FROM part)
+            SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM h a JOIN h b
+              ON b.h BETWEEN a.h - 2 AND a.h + 2
+            WHERE a.p_partkey < b.p_partkey
+        """,
+        "avoid_filter": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 450000)
+        """,
+        "resource_lookup_join": """
+            SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "coverage_histogram": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+              FROM events)
+            SELECT user_id,
+                   count(DISTINCT hr) AS filled_hours,
+                   max(hr) - min(hr) + 1 AS span_hours,
+                   count(DISTINCT hr) / (max(hr) - min(hr) + 1) AS coverage
+            FROM e GROUP BY user_id
+        """,
+        "windowed_monitor": """
+            WITH e AS (
+              SELECT CAST(floor(epoch(ts) / 1200) AS BIGINT) AS bucket,
+                     user_id, value
+              FROM events)
+            SELECT bucket, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS sum_value
+            FROM e GROUP BY bucket
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, length(text) AS lc,
+                              string_split(text, ' ') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   lc / len(toks) AS mean_token_len,
+                   len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                     / len(toks) AS stopword_ratio
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                             / len(toks) >= 0.05
+                        THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   array_to_string(string_split(text, ' ')[1:8], ' ')
+                     AS prefix_key
+            FROM documents
+        """,
+        "prefix_dup_groups": """
+            WITH f AS (
+              SELECT array_to_string(string_split(text, ' ')[1:8], ' ')
+                       AS prefix_key
+              FROM documents)
+            SELECT prefix_key, count(*) AS n_docs
+            FROM f GROUP BY prefix_key HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(0, len(t) - 2),
+                            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                       AS s
+              FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   inter / (na.n + nb.n - inter) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE inter / (na.n + nb.n - inter) >= 0.5
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id,
+                         embedding::DOUBLE[] AS ce
+                  FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC,
+                                                 neighbor_id ASC) AS rnk
+              FROM s)
+            SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.emb, b.emb)
+                    / (sqrt(list_dot_product(a.emb, a.emb))
+                       * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        """,
+    }

@@ -80,7 +80,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     This is the exact-answer sibling of the MinHash channel — at 100 TB
     you run MinHash; the exact version is the oracle-checkable operator.
     """
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.split("text", " ").alias("t"))
+         .where(F.size("t") >= 3))
     sh = (d.select(
         "doc_id",
         F.explode(F.expr(

@@ -59,7 +59,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
 
 
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
-                          threshold: float = 0.9) -> DataFrame:
+                          threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup channel).
 
     Exact all-pairs at oracle scale; see `lsh_bucketed_neighbors` for the
@@ -91,7 +91,7 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 0xA55) -> np.ndarray:
 
 def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str,
                            n_bits: int = 16, bands: int = 4,
-                           threshold: float = 0.9) -> DataFrame:
+                           threshold: float = 0.4) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets -> within-bucket exact
     cosine. Collision probability per bit = 1 - angle/pi; banding the
     sign pattern (bands x n_bits/bands) trades recall vs candidates

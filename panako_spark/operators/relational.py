@@ -52,7 +52,8 @@ def min_hits_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def head_tail_sublist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: first & last k elements per group, by a total order
     (PanakoStrategy.java:369-373; k=min(250, max(10, n/5)) -> k=2 here)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber").distinct())
     asc = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
     desc = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").desc())
     return (li.withColumn("_ra", F.row_number().over(asc))
@@ -90,7 +91,7 @@ def near_hash_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the probe side only."""
     part = _t(spark, sf_dir, "part").select(
         "p_partkey",
-        (F.col("p_partkey") * F.lit(2654435761) % F.lit(100000)).alias("h"))
+        (F.col("p_partkey") * F.lit(2654435761) % F.lit(1000)).alias("h"))
     probe = part.select(F.col("p_partkey").alias("id_a"),
                         F.explode(F.sequence(F.col("h") - 2, F.col("h") + 2))
                         .alias("h"))
@@ -103,10 +104,11 @@ def near_hash_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def avoid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: avoid-set exclusion as an anti-join
     (PanakoStorageKV.java:329-333; Deduplication.java:102-107)."""
+    high = (_t(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 450000)
+            .select(F.col("o_custkey").alias("c_custkey")).distinct())
     return (_t(spark, sf_dir, "customer")
-            .join(_t(spark, sf_dir, "orders")
-                  .select(F.col("o_custkey").alias("c_custkey")).distinct(),
-                  "c_custkey", "left_anti")
+            .join(high, "c_custkey", "left_anti")
             .select("c_custkey"))
 
 
@@ -141,7 +143,10 @@ def windowed_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.floor(F.unix_timestamp("ts") / 1200).alias("bucket"),
         "user_id", "value")
+    # sum in integer cents: order-independent exact arithmetic (double
+    # summation order differs engine-to-engine)
     return (ev.groupBy("bucket")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
-                 F.sum("value").alias("sum_value")))
+                 (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                 .alias("sum_value")))
