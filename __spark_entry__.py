@@ -234,19 +234,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE inter / (na.n + nb.n - inter) >= 0.5
         """,
+        # unit-normalize once per vector, then dot per pair — the same
+        # element order as the Spark transform/zip_with/aggregate chain so
+        # the doubles match bit-exact
         "embedding_topk": """
-            WITH q AS (SELECT vec_id AS query_id,
-                              embedding::DOUBLE[] AS qe
-                       FROM embeddings WHERE vec_id < 10),
-            c AS (SELECT vec_id AS neighbor_id,
-                         embedding::DOUBLE[] AS ce
-                  FROM embeddings),
+            WITH u AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       v -> v / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[])))
+                       AS ue
+              FROM embeddings),
             s AS (
-              SELECT query_id, neighbor_id,
-                     list_dot_product(qe, ce)
-                       / (sqrt(list_dot_product(qe, qe))
-                          * sqrt(list_dot_product(ce, ce))) AS cos
-              FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.ue, c.ue) AS cos
+              FROM u q CROSS JOIN u c
+              WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
             r AS (
               SELECT query_id, neighbor_id,
                      row_number() OVER (PARTITION BY query_id
@@ -256,15 +259,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         """,
         "embedding_near_dup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-                       FROM embeddings)
+            WITH u AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       v -> v / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[])))
+                       AS ue
+              FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   list_dot_product(a.emb, b.emb)
-                     / (sqrt(list_dot_product(a.emb, a.emb))
-                        * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.emb, b.emb)
-                    / (sqrt(list_dot_product(a.emb, a.emb))
-                       * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+                   list_dot_product(a.ue, b.ue) AS cos
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ue, b.ue) >= 0.4
         """,
     }

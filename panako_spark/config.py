@@ -35,10 +35,13 @@ class PanakoConfig:
     # Reference: 103-bin vertical x 25-frame horizontal max filter
     # (Key.java:289,293). Scaled to our 128-bin field keeping the same
     # freq:time aspect (103/512 ≈ 0.2 of the freq extent; 25 frames).
-    # (tuned on the synthetic corpus: denser peaks than a literal scale-down
-    # of 103x25 — small images need finer granularity to clear the hit gates)
-    max_filter_freq: int = 15     # vertical max-filter window (odd)
-    max_filter_time: int = 5      # horizontal max-filter window (odd)
+    # Tuned on the synthetic corpus with an explicit scale criterion: the
+    # fraction of RANDOM image pairs passing the min-hits gate must stay in
+    # the single-digit percents, else candidate generation degenerates to
+    # all-pairs at 10^12 rows (measured: 15x5 windows -> 2176 prints/img,
+    # 70% gate-pass = quadratic blowup; 21x7 -> 560 prints/img, ~8%).
+    max_filter_freq: int = 21     # vertical max-filter window (odd)
+    max_filter_time: int = 7      # horizontal max-filter window (odd)
     min_peak_magnitude: float = 1e-6
     max_peaks_per_image: int = 256   # reference caps event points per frame
                                      # (OlafEventPointProcessor.java:316-324)
@@ -52,7 +55,9 @@ class PanakoConfig:
     max_prints_per_image: int = 4096
 
     # ---- near-hash probe (Q1) ----------------------------------------------
-    query_range: int = 2          # Key.java:354 PANAKO_QUERY_RANGE
+    query_range: int = 3          # Key.java:354 PANAKO_QUERY_RANGE default
+                                  # is 2; widened to 3 to recover hash
+                                  # jitter from the sparser peak grid
     # stop-word hashes: drop landmark hashes present in more than this many
     # distinct images (web-scale noise amplifier guard; applied identically
     # in the golden matcher so parity holds). <=0 disables.
@@ -91,6 +96,14 @@ class PanakoConfig:
     simhash_bands: int = 8            # 8 bands x 8 bits for candidate keys
     simhash_hamming_threshold: int = 6
 
+    # ---- phash channel (perceptual-hash image near-dup) ----------------------
+    # 64-bit DCT-sign phash comes with the input table (input_hint). Banded
+    # like SimHash: 8 bands x 8 bits guarantees a band collision up to
+    # Hamming 7 and probabilistically beyond; verification threshold 14
+    # (measured corpus separation: dups <= 16, negatives >= 20).
+    phash_bands: int = 8
+    phash_hamming_threshold: int = 14
+
     # ---- suffix-array substring channel -------------------------------------
     substring_min_len: int = 24       # chars; exact substring containment
 
@@ -119,6 +132,10 @@ class PanakoConfig:
     @property
     def simhash_bits_per_band(self) -> int:
         return self.simhash_bits // self.simhash_bands
+
+    @property
+    def phash_bits_per_band(self) -> int:
+        return 64 // self.phash_bands
 
 
 DEFAULT_CONFIG = PanakoConfig()

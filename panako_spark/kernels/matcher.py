@@ -134,6 +134,31 @@ def caption_pairs_golden(captions: dict[str, str], cfg: PanakoConfig):
             "caption_substring": sub}
 
 
+def phash_pairs_golden(phashes: dict[str, int], cfg: PanakoConfig
+                       ) -> set[tuple[str, str]]:
+    """Golden phash channel: >=1 shared band key AND Hamming <= threshold
+    (bit-identical banding to stages/candidates.phash_pairs)."""
+    bpb = cfg.phash_bits_per_band
+    mask = (1 << bpb) - 1
+    ids = sorted(phashes)
+
+    def bands(p: int) -> set[int]:
+        u = p & 0xFFFFFFFFFFFFFFFF
+        return {(b << (bpb + 1)) + ((u >> (b * bpb)) & mask)
+                for b in range(cfg.phash_bands)}
+
+    bset = {i: bands(phashes[i]) for i in ids}
+    out = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            if (bset[ia] & bset[ib]) and (
+                    hamming(phashes[ia], phashes[ib])
+                    <= cfg.phash_hamming_threshold):
+                out.add((ia, ib))
+    return out
+
+
 def true_jaccard_pairs(captions: dict[str, str], cfg: PanakoConfig
                        ) -> set[tuple[str, str]]:
     """Exact shingle-set Jaccard >= threshold (statistical ground truth)."""

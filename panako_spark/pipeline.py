@@ -57,42 +57,58 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
     stats: dict = {}
     t_start = time.monotonic()
 
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        stats[f"t_{name}_s"] = round(time.monotonic() - t0, 2)
+        return out
+
     # ---- extract (one decode pass) -----------------------------------------
     def compute_extracted() -> DataFrame:
         return run_extract(images, cfg)
 
-    extracted = store.read_or_compute(spark, "extracted", compute_extracted)
+    extracted = timed("extract", lambda: store.read_or_compute(
+        spark, "extracted", compute_extracted))
     store.append_lineage(lineage_from_extracted(extracted, "extract",
                                                 store.run_id))
 
-    prints = store.read_or_compute(
+    prints = timed("prints", lambda: store.read_or_compute(
         spark, "prints",
         lambda: split_prints(extracted).repartition(
-            cfg.shuffle_partitions, "hash"))
-    signatures = store.read_or_compute(
-        spark, "signatures", lambda: split_signatures(extracted))
+            cfg.shuffle_partitions, "hash")))
+    signatures = timed("signatures", lambda: store.read_or_compute(
+        spark, "signatures", lambda: split_signatures(extracted)))
 
     # ---- candidate channels --------------------------------------------------
     def compute_verified() -> DataFrame:
-        hits = C.landmark_hits(prints, cfg)
-        gated = C.prefilter_hits(hits, cfg)
-        return run_verify(gated, cfg)
+        # Q5's min-hits gate lives inside run_verify's aggregation (one
+        # shuffle; map-side partial agg shrinks it)
+        return run_verify(C.landmark_hits(prints, cfg), cfg)
 
-    verified = store.read_or_compute(spark, "verified", compute_verified)
+    verified = timed("verify", lambda: store.read_or_compute(
+        spark, "verified", compute_verified))
 
     def compute_pairs() -> DataFrame:
         mh, mh_stats = C.minhash_pairs(signatures, cfg)
         sh, sh_stats = C.simhash_pairs(signatures, cfg)
+        ph, ph_stats = C.phash_pairs(signatures, cfg)
         ce, ce_stats = C.caption_exact_pairs(signatures, cfg)
         cs, cs_stats = C.caption_substring_pairs(signatures, images, cfg)
+        # single action for all channels' band stats
+        stats_df = None
         for stage, s in (("bands_minhash", mh_stats),
                          ("bands_simhash", sh_stats),
+                         ("bands_phash", ph_stats),
                          ("bands_caption_exact", ce_stats),
                          ("bands_substring", cs_stats)):
-            row = s.collect()[0]
-            stats[stage] = row.asDict()
+            s = s.select(F.lit(stage).alias("stage"), "n_keys", "n_hot_keys",
+                         "dropped_cross_pairs_estimate")
+            stats_df = s if stats_df is None else stats_df.union(s)
+        for row in stats_df.collect():
+            stats[row["stage"]] = {k: row[k] for k in (
+                "n_keys", "n_hot_keys", "dropped_cross_pairs_estimate")}
             store.append_lineage(
-                _band_stats_lineage(spark, stage, row, store.run_id))
+                _band_stats_lineage(spark, row["stage"], row, store.run_id))
         lm = verified.select("id_a", "id_b",
                              F.lit("landmark").alias("channel"))
         return (lm
@@ -100,20 +116,23 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                                  F.lit("minhash").alias("channel")))
                 .union(sh.select("id_a", "id_b",
                                  F.lit("simhash").alias("channel")))
+                .union(ph.select("id_a", "id_b",
+                                 F.lit("phash").alias("channel")))
                 .union(ce.select("id_a", "id_b",
                                  F.lit("caption_exact").alias("channel")))
                 .union(cs.select("id_a", "id_b",
                                  F.lit("caption_substring").alias("channel"))))
 
-    dup_pairs = store.read_or_compute(spark, "dup_pairs", compute_pairs)
+    dup_pairs = timed("pairs", lambda: store.read_or_compute(
+        spark, "dup_pairs", compute_pairs))
 
     # ---- clustering ------------------------------------------------------------
-    clusters = store.read_or_compute(
+    clusters = timed("cluster", lambda: store.read_or_compute(
         spark, "clusters",
         lambda: connected_components(
             dup_pairs.select("id_a", "id_b").distinct(),
             images.select("image_id"),
-            cfg.cc_max_iterations))
+            cfg.cc_max_iterations)))
 
     stats["elapsed_s"] = time.monotonic() - t_start
     return PipelineResult(clusters=clusters, dup_pairs=dup_pairs,

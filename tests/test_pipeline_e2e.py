@@ -22,6 +22,7 @@ from panako_spark.io.checkpoint import CheckpointStore
 from panako_spark.kernels.codec import to_gray
 from panako_spark.kernels.matcher import (
     GoldenMatcher, caption_pairs_golden, connected_components_golden,
+    phash_pairs_golden,
 )
 from panako_spark.pipeline import run_pipeline
 
@@ -49,6 +50,8 @@ def golden(corpus, cfg):
         gm.store_image(r.image_id, to_gray(r.pixels))
     landmark = gm.dedup_pairs()
     caption = caption_pairs_golden({r.image_id: r.caption for r in rows}, cfg)
+    caption["phash"] = phash_pairs_golden(
+        {r.image_id: r.phash for r in rows}, cfg)
     union = set(landmark)
     for p in caption.values():
         union |= p
@@ -80,7 +83,8 @@ def test_parity_landmark_channel(pipeline_result, golden):
 def test_parity_caption_channels(pipeline_result, golden):
     _, pairs, _, _, _ = pipeline_result
     _, caption_golden, _ = golden
-    for ch in ("caption_exact", "minhash", "simhash", "caption_substring"):
+    for ch in ("caption_exact", "minhash", "simhash", "caption_substring",
+               "phash"):
         spark_ch = {(a, b) for a, b, c in pairs if c == ch}
         g = caption_golden[ch]
         missed = g - spark_ch

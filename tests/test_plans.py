@@ -1,0 +1,83 @@
+"""Physical-plan property tests: the 100 TB contract, enforced.
+
+These assert the plans Catalyst actually produces — broadcast where a
+dimension is small, filter pushdown to the parquet scan, column pruning,
+zero Python nodes in JVM-only operators, bounded shuffle counts.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from panako_spark.operators import ann as ANN
+from panako_spark.operators import relational as R
+from panako_spark.functions import text as TXT
+from panako_spark.plans.inspect import (
+    codegen_stage_count, has_broadcast_join, has_python_eval,
+    pushed_filters, read_schemas, shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lookup_join_broadcasts_dimension(spark):
+    df = R.resource_lookup_join(spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_python_eval(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF}/orders.parquet")
+          .where(F.col("o_totalprice") > 100.0)
+          .select("o_orderkey"))
+    pf = pushed_filters(df)
+    assert pf and any("o_totalprice" in f for f in pf), pf
+
+
+def test_column_pruning_on_projection(spark):
+    df = TXT.token_count(spark, SF)
+    schemas = read_schemas(df)
+    # the scan must read only doc_id and text, not lang/source/n_chars
+    assert schemas and all("source" not in s and "lang" not in s
+                           for s in schemas), schemas
+
+
+def test_relational_operators_are_jvm_only(spark):
+    """No Python evaluation node may appear in any SQL-expressible
+    operator — UDFs are the slow path and these don't need them."""
+    for name, fn in [
+        ("stats_scan", R.stats_scan),
+        ("min_hits_gate", R.min_hits_gate),
+        ("topk_per_group", R.topk_per_group),
+        ("near_hash_band_join", R.near_hash_band_join),
+        ("coverage_histogram", R.coverage_histogram),
+        ("ngram_jaccard_pairs", TXT.ngram_jaccard_pairs),
+        ("quality_score", TXT.quality_score),
+        ("embedding_topk", ANN.cosine_topk_bruteforce),
+    ]:
+        df = fn(spark, SF)
+        assert not has_python_eval(df), f"{name} has a Python node"
+
+
+def test_hot_operators_run_in_codegen(spark):
+    """After execution the AQE final plan must show WholeStageCodegen
+    spans covering the hot expressions."""
+    for name, fn in [("min_hits_gate", R.min_hits_gate),
+                     ("near_hash_band_join", R.near_hash_band_join)]:
+        df = fn(spark, SF)
+        assert codegen_stage_count(df, execute=True) >= 1, name
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    df = ANN.cosine_topk_bruteforce(spark, SF)
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in \
+        __import__("panako_spark.plans.inspect", fromlist=["plan"]).plan(df)
+
+
+def test_stats_scan_single_shuffle(spark):
+    # global aggregate: one exchange (partial -> final)
+    assert shuffle_count(R.stats_scan(spark, SF)) <= 1
+
+
+def test_min_hits_gate_single_shuffle(spark):
+    # groupBy + HAVING must be ONE exchange with partial aggregation
+    assert shuffle_count(R.min_hits_gate(spark, SF)) <= 1

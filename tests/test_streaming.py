@@ -1,0 +1,52 @@
+"""Streaming monitor test: store a corpus's prints, stream modified
+duplicates through the monitor, expect matches against their originals
+(reference protocol: Monitor.java + Deduplication.java:98-108)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from panako_spark.config import PanakoConfig
+from panako_spark.data.synth import generate_corpus, rows_to_pandas
+from panako_spark.stages.extract import run_extract, split_prints
+from panako_spark.streaming.monitor import start_monitor
+
+
+@pytest.mark.timeout(300)
+def test_streaming_monitor_finds_dups(spark, cfg, tmp_path):
+    rows, _ = generate_corpus(12, dup_fraction=0.5, seed=99)
+    base = [r for r in rows if "_dup" not in r.image_id]
+    dups = [r for r in rows if "_dup" in r.image_id]
+    assert base and dups
+
+    # store phase: index the base images' prints
+    prints_path = str(tmp_path / "prints")
+    images = spark.createDataFrame(rows_to_pandas(base))
+    split_prints(run_extract(images, cfg)).write.parquet(prints_path)
+
+    # stream phase: drop dup images into the watched dir as parquet files
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    pdf = rows_to_pandas(dups)
+    for i in range(0, len(pdf), 4):
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[i:i + 4]),
+                       str(in_dir / f"f{i}.parquet"))
+
+    out_dir = str(tmp_path / "matches")
+    q = start_monitor(spark, str(in_dir), prints_path, out_dir,
+                      str(tmp_path / "stream_ckpt"), cfg,
+                      available_now=True)
+    q.awaitTermination(240)
+
+    matches = spark.read.parquet(out_dir)
+    got = {(r["query_id"], r["ref_id"]) for r in matches.collect()}
+    # at least one streamed duplicate matches its original (landmark
+    # channel only in monitor mode; reencode dups always hit)
+    own = {(d, d.split("_dup")[0]) for d, _ in
+           ((r.image_id, None) for r in dups)}
+    assert got & own, f"no self-original matches in {sorted(got)[:5]}"
+    # every reported match pairs a dup with a stored base id
+    for qid, rid in got:
+        assert "_dup" in qid and "_dup" not in rid
