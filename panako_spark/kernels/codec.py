@@ -97,6 +97,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, w, h, idat = 8, 0, 0, b""
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
@@ -109,8 +111,16 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + ln
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG missing or empty IHDR")
+    try:
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     stride = w * 3
+    if raw.size != h * (1 + stride):
+        raise ValueError(
+            f"PNG payload {raw.size} != expected {h * (1 + stride)}")
     raw = raw.reshape(h, 1 + stride)
     if np.all(raw[:, 0] == 0):  # fast path: our own encoder
         return raw[:, 1:].reshape(h, w, 3).copy()

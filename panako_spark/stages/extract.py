@@ -102,7 +102,9 @@ def make_extract_fn(cfg: PanakoConfig):
                                       int(row.w), int(row.h), row.fmt)
                     psnr_ok = codec.psnr(img, rt) >= 40.0
                     hh, tt, ff = extract_prints(codec.to_gray(img), cfg)
-                except (ValueError, NotImplementedError) as e:
+                except Exception as e:  # noqa: BLE001 — one corrupt row
+                    # must never kill a 10^12-row job; the err column and
+                    # lineage carry the failure
                     err = f"{type(e).__name__}: {e}"
                     psnr_ok = False
                 out["image_id"].append(row.image_id)

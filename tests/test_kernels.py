@@ -46,6 +46,22 @@ def test_png_decode_filtered_scanlines():
     assert np.array_equal(codec.decode_png(data), img)
 
 
+def test_corrupt_png_raises_value_error():
+    """Corrupt bytes must raise ValueError (catchable), never leak
+    struct.error/zlib.error — one bad row can't kill a 10^12-row job."""
+    import zlib as _z
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = codec.encode(img, "png")
+    for bad in (good[:10], good[:50], good[:8],
+                good[:40] + b"\x00" * 20,
+                b"\x89PNG\r\n\x1a\n" + b"\x00" * 4):
+        with pytest.raises(ValueError):
+            codec.decode(bad, 8, 8, "png")
+    with pytest.raises(NotImplementedError):
+        codec.decode(b"xx", 1, 1, "jpeg")
+
+
 def test_psnr_noise():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
