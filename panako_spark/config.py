@@ -55,9 +55,7 @@ class PanakoConfig:
     max_prints_per_image: int = 4096
 
     # ---- near-hash probe (Q1) ----------------------------------------------
-    query_range: int = 3          # Key.java:354 PANAKO_QUERY_RANGE default
-                                  # is 2; widened to 3 to recover hash
-                                  # jitter from the sparser peak grid
+    query_range: int = 2          # Key.java:354 PANAKO_QUERY_RANGE
     # stop-word hashes: drop landmark hashes present in more than this many
     # distinct images (web-scale noise amplifier guard; applied identically
     # in the golden matcher so parity holds). <=0 disables.

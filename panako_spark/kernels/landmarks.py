@@ -15,12 +15,19 @@ Reference semantics:
         [1b] m1 > m2   [1b] m2 > m3   [1b] m3 > m1
         [1b] (t3-t2) > (t2-t1)
         [1b] |f3-f2| > |f2-f1|
-        [8b] f1 >> 5
-        [6b] |f2-f1| >> 2
-        [6b] |f3-f2| >> 2
+        [8b] f1 >> 2
+        [6b] |f2-f1| >> 1
+        [6b] |f3-f2| >> 1
     The low bits carry fine frequency deltas, so near-identical content
     lands within ±query_range of the stored hash — which is exactly why
     the reference probes [h-2, h+2] (Q1, Key.java:354).
+
+    Shift amounts differ from the reference's (f1>>5, df>>2 over 512
+    bins): our field has 128 bins, and the coarser quantization measurably
+    collapsed the hash space — random image pairs shared >=10 hashes and
+    candidate generation degenerated toward all-pairs (11% of pairs
+    passing the Q5 gate vs 1.1% with these shifts, at equal recall once
+    the phash channel is in the union).
 
 The stored projection per print is (hash, t1, f1), matching the
 reference's KV value layout (PanakoStorageKV.java:204-228).
@@ -98,9 +105,9 @@ def pack_hashes(
     for bit in (f1 > f2, f2 > f3, f3 > f1, m1 > m2, m2 > m3, m3 > m1,
                 (t3 - t2) > (t2 - t1), df32 > df21):
         h = (h << 1) | bit.astype(np.int64)
-    h = (h << 8) | ((f1 >> 5) & 0xFF)
-    h = (h << 6) | ((df21 >> 2) & 0x3F)
-    h = (h << 6) | ((df32 >> 2) & 0x3F)
+    h = (h << 8) | ((f1 >> 2) & 0xFF)
+    h = (h << 6) | ((df21 >> 1) & 0x3F)
+    h = (h << 6) | ((df32 >> 1) & 0x3F)
     return h
 
 

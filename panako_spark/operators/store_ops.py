@@ -1,0 +1,126 @@
+"""Store-maintenance operators: the reference's KV-store surface mapped
+to checkpoint tables.
+
+  S7 delete  — exact-row delete via cursor (PanakoStorageKV.java:231-277;
+               note the reference reads storeQueue there, a known bug we
+               do NOT reproduce) -> anti-join rewrite, the parquet
+               fallback's analog of Iceberg DELETE WHERE
+  S8 clear   — drop whole DB dir (PanakoStorageKV.java:490-506)
+  Q19        — hasResource skip: don't re-extract already-stored ids
+               (Store.java:119-127) -> left-anti join + append, the
+               idempotent incremental-store path
+  Q16        — top-k results per query (PanakoStrategy.java:481-495)
+  S9         — store statistics (PanakoStorageKV.java:382-467) over OUR
+               prints/signatures tables
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from panako_spark.config import PanakoConfig
+from panako_spark.io.checkpoint import CheckpointStore
+from panako_spark.stages.extract import run_extract, split_prints, \
+    split_signatures
+
+
+def delete_resources(spark: SparkSession, store: CheckpointStore,
+                     image_ids: list[str]) -> dict:
+    """S7: remove all prints/signatures of the given ids (anti-join
+    rewrite of both tables; manifests updated atomically after)."""
+    ids_df = spark.createDataFrame([(i,) for i in image_ids], ["image_id"])
+    out = {}
+    for table in ("prints", "signatures"):
+        if not store.is_complete(table):
+            continue
+        df = store.read(spark, table)
+        kept = df.join(F.broadcast(ids_df), "image_id", "left_anti")
+        # write to a sibling then swap: never destroy the only copy mid-job
+        tmp = f"{table}__rewrite"
+        rows = store.write(kept, tmp)
+        shutil.rmtree(store.path(table))
+        shutil.move(store.path(tmp), store.path(table))
+        store.invalidate(tmp)
+        store._mark_complete(table, rows)
+        out[table] = rows
+    return out
+
+
+def clear(store: CheckpointStore, tables: list[str] | None = None) -> None:
+    """S8: drop checkpoint tables (whole-store clear when tables=None)."""
+    names = tables or ["extracted", "prints", "signatures", "verified",
+                       "dup_pairs", "clusters"]
+    for t in names:
+        shutil.rmtree(store.path(t), ignore_errors=True)
+        store.invalidate(t)
+
+
+def store_incremental(spark: SparkSession, images: DataFrame,
+                      store: CheckpointStore, cfg: PanakoConfig) -> dict:
+    """Q19: extract and append ONLY images not already stored.
+
+    The left-anti join touches just the id column of the existing
+    signatures table (column pruning keeps the scan narrow); re-running
+    with the same input is a no-op — the idempotent-resume property the
+    reference gets from hasResource."""
+    have_sig = store.is_complete("signatures")
+    if have_sig:
+        existing = store.read(spark, "signatures").select("image_id")
+        new_images = images.join(existing, "image_id", "left_anti")
+    else:
+        new_images = images
+    extracted = run_extract(new_images, cfg)
+    new_prints = split_prints(extracted)
+    new_sigs = split_signatures(extracted)
+    n_new = new_sigs.count()
+    if n_new == 0:
+        return {"new_images": 0}
+    mode = "append" if have_sig else "overwrite"
+    new_prints.write.mode(mode).parquet(store.path("prints"))
+    new_sigs.write.mode(mode).parquet(store.path("signatures"))
+    for t in ("prints", "signatures"):
+        store._mark_complete(t, store.read(spark, t).count())
+    return {"new_images": n_new}
+
+
+def topk_matches(verified: DataFrame, k: int) -> DataFrame:
+    """Q16: best-k refs per query by (score desc, id) — deterministic."""
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(),
+                                           F.col("id_b").asc())
+    return (verified.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def store_statistics(spark: SparkSession, store: CheckpointStore) -> DataFrame:
+    """S9: totals + min/max/avg prints-per-image over the stored tables."""
+    prints = store.read(spark, "prints")
+    sigs = store.read(spark, "signatures")
+    per_img = prints.groupBy("image_id").agg(F.count("*").alias("n"))
+    return (per_img.agg(
+        F.count("*").alias("n_images"),
+        F.sum("n").alias("n_prints"),
+        F.min("n").alias("min_prints"),
+        F.max("n").alias("max_prints"),
+        F.avg("n").alias("avg_prints"))
+        .crossJoin(sigs.agg(
+            F.count(F.when(F.col("err").isNotNull(), 1)).alias("n_errors"))))
+
+
+def same_images(bytes_a: bytes, meta_a: tuple, bytes_b: bytes, meta_b: tuple,
+                cfg: PanakoConfig):
+    """Q17 `same` (Same.java:65-85): pairwise in-memory compare of two
+    images — extract both, probe A against B's prints, verify. Returns a
+    MatchResult or None. Pure-kernel path, no Spark session needed."""
+    from panako_spark.kernels import codec
+    from panako_spark.kernels.matcher import GoldenMatcher
+
+    (w_a, h_a, fmt_a), (w_b, h_b, fmt_b) = meta_a, meta_b
+    gm = GoldenMatcher(cfg)
+    gm.store_image("b", codec.to_gray(codec.decode(bytes_b, w_b, h_b, fmt_b)))
+    from panako_spark.kernels.landmarks import extract_prints
+    h, t1, f1 = extract_prints(
+        codec.to_gray(codec.decode(bytes_a, w_a, h_a, fmt_a)), cfg)
+    return gm.query_prints(h, t1, f1, avoid=set()).get("b")

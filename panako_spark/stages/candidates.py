@@ -36,7 +36,10 @@ def pairs_from_keys(keyed: DataFrame, cap: int,
     (pairs, stats) where stats has one row:
     (n_keys, n_hot_keys, dropped_cross_pairs_estimate).
     """
-    counts = keyed.groupBy(key_col).agg(F.count("*").alias("_n"))
+    # counts is tiny (one row per key) and read twice: by the salted
+    # re-join AND the stats aggregate — cache it so the explode+groupBy
+    # shuffle runs once
+    counts = keyed.groupBy(key_col).agg(F.count("*").alias("_n")).cache()
     keyed2 = keyed.join(counts, key_col)
     n_salt = F.ceil(F.col("_n") / cap).cast("int")
     salted = keyed2.withColumn(

@@ -107,8 +107,8 @@ def test_hash_known_value():
         *(np.array([v]) for v in [0, 10, 5.0, 4, 30, 6.0, 8, 20, 4.0]))
     # ratio_t = round(64*4/8)=32; bits f1>f2:0 f2>f3:1 f3>f1:1 m1>m2:0
     # m2>m3:1 m3>m1:0 ; (t3-t2)=4 > (t2-t1)=4 -> 0 ; |f3-f2|=10>|f2-f1|=20 ->0
-    # f1>>5=0 ; 20>>2=5 ; 10>>2=2
-    want = (((32 << 8 | 0b01101000) << 8 | 0) << 6 | 5) << 6 | 2
+    # f1=10>>2=2 ; |f2-f1|=20>>1=10 ; |f3-f2|=10>>1=5
+    want = (((32 << 8 | 0b01101000) << 8 | 2) << 6 | 10) << 6 | 5
     assert int(h[0]) == want
 
 
