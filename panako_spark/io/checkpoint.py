@@ -70,14 +70,21 @@ class CheckpointStore:
         return os.path.join(self.root, table)
 
     def write(self, df: DataFrame, table: str,
-              partition_by: list[str] | None = None) -> int:
-        """Overwrite-write a stage output and mark it complete."""
+              partition_by: list[str] | None = None,
+              count_rows: bool = False) -> int:
+        """Overwrite-write a stage output and mark it complete.
+
+        Row counting re-scans the output (one extra job per stage —
+        driver-serial cost that caps scaling efficiency), so it is off by
+        default; the manifest records -1 unless count_rows is set.
+        """
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
-        spark = df.sparkSession
-        rows = spark.read.parquet(self.path(table)).count()
+        rows = -1
+        if count_rows:
+            rows = df.sparkSession.read.parquet(self.path(table)).count()
         self._mark_complete(table, rows)
         return rows
 

@@ -64,10 +64,12 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .where(F.col("src") != F.col("dst")).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     prev = None
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the checksum collect is the ONE action per
+        # round and materializes the checkpoint as a side effect
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break
