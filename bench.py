@@ -25,6 +25,11 @@ import sys
 import tempfile
 import time
 
+# one BLAS thread per Python worker: N workers already saturate N cores;
+# nested numpy threading just oversubscribes and anti-scales
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline table queries (subset of __spark_entry__.queries(): the ones that
@@ -42,7 +47,7 @@ def bench_corpus_path(n_base: int) -> str:
     seed => same bytes), so scaling runs at two parallelism levels read
     identical input."""
     path = os.path.join(tempfile.gettempdir(),
-                        f"panako_bench_corpus_{n_base}")
+                        f"panako_bench_corpus_v2_{n_base}")
     marker = os.path.join(path, "_SUCCESS_GEN")
     if not os.path.exists(marker):
         from panako_spark.data.synth import generate_corpus, rows_to_pandas
@@ -53,10 +58,17 @@ def bench_corpus_path(n_base: int) -> str:
         pdf = rows_to_pandas(rows)
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
-        # many row groups so local[N] gets parallel input splits
-        tbl = pa.Table.from_pandas(pdf)
-        pq.write_table(tbl, os.path.join(path, "part-0.parquet"),
-                       row_group_size=64)
+        # MANY FILES, not one: a single parquet file yields only
+        # size/128MB input splits and serializes the extract stage —
+        # measured as local[32] running SLOWER than local[8]
+        n_files = 64
+        per = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = pdf.iloc[i * per:(i + 1) * per]
+            if len(chunk):
+                pq.write_table(pa.Table.from_pandas(chunk),
+                               os.path.join(path, f"part-{i:03d}.parquet"),
+                               row_group_size=64)
         with open(marker, "w") as f:
             f.write("ok")
     return path
@@ -76,8 +88,12 @@ def main() -> None:
 
     from panako_spark.session import get_spark
 
+    # shuffle partitions fixed across parallelism levels: scaling runs
+    # must differ ONLY in cores, and small files need small splits
     spark = get_spark("panako-bench", cpus=args.cpus,
-                      shuffle_partitions=max(32, args.cpus * 2))
+                      shuffle_partitions=64,
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  str(8 * 1024 * 1024)})
     timings: dict[str, float] = {}
 
     if not args.skip_tables:

@@ -78,6 +78,13 @@ class PanakoConfig:
     min_match_span: int = 4           # frames (~2 coverage bins)
     min_coverage: float = 0.2
 
+    # ---- histogram fallback matcher (Q15) ------------------------------------
+    # Olaf's noisy-query fallback (OlafStrategy.java:462-541, enabled by
+    # OLAF_MATCH_FALLBACK_TO_HIST for over-the-air tests): when the strict
+    # line-fit match fails, accept the mode of a coarse ΔT histogram.
+    fallback_to_hist: bool = False
+    hist_bin: int = 5                 # ΔT histogram bin width (frames)
+
     # ---- results (Q16) -----------------------------------------------------
     max_results: int = 10             # Key.java MAX_RESULTS analog
 

@@ -42,15 +42,18 @@ def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes (8-bit RGB, filter 0, one IDAT)."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (8-bit RGB, filter 0, one IDAT).
+
+    Any zlib level is equally lossless; level 1 is ~4x faster and is used
+    for the per-row roundtrip invariant check."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     # prepend filter byte 0 to each scanline
     scanlines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
     scanlines[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(scanlines.tobytes(), 6)
+    idat = zlib.compress(scanlines.tobytes(), level)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -127,11 +130,11 @@ def decode_png(data: bytes) -> np.ndarray:
     return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
 
 
-def encode(img: np.ndarray, fmt: str) -> bytes:
+def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "raw":
         return encode_raw(img)
     if fmt == "png":
-        return encode_png(img)
+        return encode_png(img, level)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -52,10 +52,57 @@ def _mode_delta(delta: np.ndarray) -> int:
     return int(vals[np.argmax(counts)])
 
 
+def _hist_fallback(q_t: np.ndarray, q_f: np.ndarray,
+                   r_t: np.ndarray, r_f: np.ndarray,
+                   cfg: PanakoConfig) -> MatchResult | None:
+    """Q15: Olaf's histogram fallback (OlafStrategy.java:462-541) —
+    rigid-offset match via the mode of a coarse ΔT histogram; inliers are
+    hits whose ΔT falls in the mode bin ± one bin. No time scaling
+    (time_factor fixed at 1), so only use when the strict matcher failed
+    and cfg.fallback_to_hist is on (the reference's OTA/noisy mode)."""
+    delta = r_t.astype(np.int64) - q_t.astype(np.int64)
+    bins = delta // cfg.hist_bin
+    mode_bin = _mode_delta(bins)
+    inlier = np.abs(bins - mode_bin) <= 1
+    n_in = int(inlier.sum())
+    if n_in < cfg.min_filtered_hits:
+        return None
+    qi, ri = q_t[inlier], r_t[inlier]
+    q_start, q_stop = int(qi.min()), int(qi.max())
+    r_start, r_stop = int(ri.min()), int(ri.max())
+    if (q_stop - q_start) < cfg.min_match_span:
+        return None
+    total_bins = (r_stop - r_start) // cfg.coverage_bin + 1
+    filled = np.unique((ri - r_start) // cfg.coverage_bin).size
+    coverage = filled / total_bins
+    if coverage < cfg.min_coverage:
+        return None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ff = float(np.median((r_f[inlier] + 0.5) / (q_f[inlier] + 0.5)))
+    if not (cfg.factor_min < ff < cfg.factor_max):
+        return None
+    return MatchResult(n_in, 1.0, ff, float(coverage),
+                       q_start, q_stop, r_start, r_stop)
+
+
 def verify_pair(q_t: np.ndarray, q_f: np.ndarray,
                 r_t: np.ndarray, r_f: np.ndarray,
                 cfg: PanakoConfig) -> MatchResult | None:
-    """Raw hit lists for one (query, ref) candidate -> match or None."""
+    """Raw hit lists for one (query, ref) candidate -> match or None.
+
+    Strict line-fit matcher (Q6-Q13); when it rejects and
+    cfg.fallback_to_hist is set, the Q15 histogram fallback gets a try.
+    """
+    res = _strict_verify(q_t, q_f, r_t, r_f, cfg)
+    if res is None and cfg.fallback_to_hist \
+            and q_t.size >= cfg.min_unfiltered_hits:
+        res = _hist_fallback(q_t, q_f, r_t, r_f, cfg)
+    return res
+
+
+def _strict_verify(q_t: np.ndarray, q_f: np.ndarray,
+                   r_t: np.ndarray, r_f: np.ndarray,
+                   cfg: PanakoConfig) -> MatchResult | None:
     n = q_t.size
     if n < cfg.min_unfiltered_hits:  # Q5
         return None

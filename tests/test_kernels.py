@@ -281,6 +281,30 @@ def test_verify_rejects_bad_time_factor(cfg):
     assert verify.verify_pair(q_t, q_f, r_t, r_f, cfg) is None
 
 
+def test_verify_hist_fallback_q15(cfg):
+    """Rigid-offset hits too jittered for the line fit (inlier threshold
+    2) but within one histogram bin: strict rejects, Q15 accepts when
+    enabled (reference OTA mode, OlafStrategy.java:462-541)."""
+    # rigid bulk (delta 7) with junk concentrated at head and tail: the
+    # strict matcher's anchors hit the junk modes -> slope ~2 -> factor
+    # gate rejects; the histogram mode is the rigid bulk
+    q_t = np.concatenate([np.arange(0, 10), np.arange(10, 30),
+                          np.arange(50, 60)])
+    delta = np.concatenate([np.full(10, -20), np.full(20, 7),
+                            np.full(10, 40)])
+    r_t = q_t + delta
+    rng = np.random.default_rng(12)
+    q_f = rng.integers(0, 128, q_t.size)
+    r_f = q_f.copy()
+    strict = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
+    assert strict is None
+    loose = verify.verify_pair(q_t, q_f, r_t, r_f,
+                               cfg.with_(fallback_to_hist=True))
+    assert loose is not None
+    assert loose.time_factor == 1.0
+    assert loose.score == 20
+
+
 def test_verify_time_stretch_within_gate(cfg):
     q_t, q_f, r_t, r_f = _hits_for_line(40, 1.1, 3)
     res = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
