@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_monitor": R.windowed_monitor,          # Q14
         # --- text analysis / dedup family (training-data pipeline) ---
         "token_count": TXT.token_count,
+        "token_count_bpe": TXT.token_count_bpe,
         "quality_score": TXT.quality_score,
         "lang_id": TXT.lang_id,
         "doc_fingerprint": TXT.doc_fingerprint,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": ANN.cosine_topk_bruteforce,
         "embedding_near_dup": ANN.cosine_near_dup_pairs,
         "embedding_lsh_neighbors": ANN.lsh_bucketed_neighbors,  # rows-only
+        "embedding_ivf_topk": ANN.ivf_topk,                     # rows-only
         # --- signature operators (non-SQL; rows-only checks) ---
         "minhash_dup_pairs_docs": DD.minhash_dup_pairs,
         "simhash_dup_pairs_docs": DD.simhash_dup_pairs,
@@ -177,6 +179,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_score": f"""

@@ -81,6 +81,11 @@ def main() -> None:
     ap.add_argument("--n-base", type=int, default=600)
     ap.add_argument("--skip-tables", action="store_true")
     ap.add_argument("--skip-pipeline", action="store_true")
+    ap.add_argument("--mode", choices=["full", "store"], default="full",
+                    help="pipeline benchmark mode: 'full' = extract →"
+                         " candidates → verify → cluster; 'store' ="
+                         " extract + write prints/signatures only (the"
+                         " reference's own store-throughput protocol)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,12 +123,24 @@ def main() -> None:
         images = spark.read.parquet(corpus)
         n_images = images.count()
         ckpt = tempfile.mkdtemp(prefix="panako_bench_ckpt_")
+        store = CheckpointStore(ckpt)
         t0 = time.monotonic()
-        res = run_pipeline(spark, images,
-                           CheckpointStore(ckpt), PanakoConfig())
-        res.clusters.count()
+        if args.mode == "store":
+            from panako_spark.stages.extract import (
+                run_extract, split_prints, split_signatures,
+            )
+            cfg = PanakoConfig()
+            extracted = store.read_or_compute(
+                spark, "extracted", lambda: run_extract(images, cfg))
+            store.write(split_prints(extracted), "prints")
+            store.write(split_signatures(extracted), "signatures")
+            key = "image_store"
+        else:
+            res = run_pipeline(spark, images, store, PanakoConfig())
+            res.clusters.count()
+            key = "image_dedup_pipeline"
         dt = time.monotonic() - t0
-        timings["image_dedup_pipeline"] = round(dt, 3)
+        timings[key] = round(dt, 3)
         images_per_sec = round(n_images / dt, 2)
         shutil.rmtree(ckpt, ignore_errors=True)
 

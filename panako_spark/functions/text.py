@@ -29,6 +29,17 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"))
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: word pieces [a-z0-9]+ plus single non-space
+    punctuation — the regex both Spark (Java regex) and DuckDB (RE2)
+    interpret identically, so the count is oracle-checkable."""
+    pat = "[a-z0-9]+|[^a-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"))
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: mean token length + stopword ratio (length/punct/
     stopword-ratio heuristics of a data-quality pass)."""
