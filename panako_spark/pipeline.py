@@ -67,61 +67,57 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
     def compute_extracted() -> DataFrame:
         return run_extract(images, cfg)
 
+    def arrow_batch(rows: int) -> None:
+        # runtime-settable; image rows are ~200 KB so extract wants small
+        # batches, while flat-int stages want big ones
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(rows))
+
+    arrow_batch(cfg.arrow_batch_rows)
     extracted = timed("extract", lambda: store.read_or_compute(
         spark, "extracted", compute_extracted))
     store.append_lineage(lineage_from_extracted(extracted, "extract",
                                                 store.run_id))
 
+    # prints carry no partitioning: the landmark probe join shuffles on the
+    # expanded probe_hash anyway, so a pre-shuffle on hash is wasted work
     prints = timed("prints", lambda: store.read_or_compute(
-        spark, "prints",
-        lambda: split_prints(extracted).repartition(
-            cfg.shuffle_partitions, "hash")))
+        spark, "prints", lambda: split_prints(extracted)))
     signatures = timed("signatures", lambda: store.read_or_compute(
         spark, "signatures", lambda: split_signatures(extracted)))
 
-    # ---- candidate channels --------------------------------------------------
+    # ---- landmark channel: probe join + alignment verify --------------------
+    arrow_batch(8192)
+
     def compute_verified() -> DataFrame:
-        # Q5's min-hits gate lives inside run_verify's aggregation (one
-        # shuffle; map-side partial agg shrinks it)
-        return run_verify(C.landmark_hits(prints, cfg), cfg)
+        # Q5's min-hits gate runs inside the verify kernel (one shuffle
+        # on the pair key, no gate aggregation); the widest shuffle of
+        # the pipeline runs on int64 ids, resolved back to strings after
+        v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True),
+                       cfg, numeric_ids=True)
+        return C.resolve_numeric_ids(v, images)
 
     verified = timed("verify", lambda: store.read_or_compute(
         spark, "verified", compute_verified))
 
+    # ---- signature channels, fused ------------------------------------------
     def compute_pairs() -> DataFrame:
-        mh, mh_stats = C.minhash_pairs(signatures, cfg)
-        sh, sh_stats = C.simhash_pairs(signatures, cfg)
-        ph, ph_stats = C.phash_pairs(signatures, cfg)
-        ce, ce_stats = C.caption_exact_pairs(signatures, cfg)
-        cs, cs_stats = C.caption_substring_pairs(signatures, images, cfg)
-        # single action for all channels' band stats
-        stats_df = None
-        for stage, s in (("bands_minhash", mh_stats),
-                         ("bands_simhash", sh_stats),
-                         ("bands_phash", ph_stats),
-                         ("bands_caption_exact", ce_stats),
-                         ("bands_substring", cs_stats)):
-            s = s.select(F.lit(stage).alias("stage"), "n_keys", "n_hot_keys",
-                         "dropped_cross_pairs_estimate")
-            stats_df = s if stats_df is None else stats_df.union(s)
-        for row in stats_df.collect():
-            stats[row["stage"]] = {k: row[k] for k in (
+        fused, fused_stats = C.fused_candidate_pairs(signatures, images, cfg)
+        rows = fused_stats.collect()
+        for row in rows:
+            stats[f"bands_{row['channel']}"] = {k: row[k] for k in (
                 "n_keys", "n_hot_keys", "dropped_cross_pairs_estimate")}
-            store.append_lineage(
-                _band_stats_lineage(spark, row["stage"], row, store.run_id))
-        lm = verified.select("id_a", "id_b",
-                             F.lit("landmark").alias("channel"))
-        return (lm
-                .union(mh.select("id_a", "id_b",
-                                 F.lit("minhash").alias("channel")))
-                .union(sh.select("id_a", "id_b",
-                                 F.lit("simhash").alias("channel")))
-                .union(ph.select("id_a", "id_b",
-                                 F.lit("phash").alias("channel")))
-                .union(ce.select("id_a", "id_b",
-                                 F.lit("caption_exact").alias("channel")))
-                .union(cs.select("id_a", "id_b",
-                                 F.lit("caption_substring").alias("channel"))))
+        store.append_lineage(spark.createDataFrame(
+            [(f"bands_{r['channel']}", -1, int(r["n_keys"]),
+              int(r["n_hot_keys"]),
+              int(r["dropped_cross_pairs_estimate"]), 0, store.run_id)
+             for r in rows],
+            schema="stage string, partition_id int, input_count long, "
+                   "signature_count long, band_count long, elapsed_ms long, "
+                   "run_id string"))
+        lm = verified.select(F.lit("landmark").alias("channel"),
+                             "id_a", "id_b")
+        return lm.unionByName(fused).select("id_a", "id_b", "channel")
 
     dup_pairs = timed("pairs", lambda: store.read_or_compute(
         spark, "dup_pairs", compute_pairs))

@@ -26,34 +26,40 @@ from pyspark.sql import DataFrame
 from panako_spark.config import PanakoConfig
 
 
-def pairs_from_keys(keyed: DataFrame, cap: int,
-                    key_col: str = "key", id_col: str = "image_id"
-                    ) -> tuple[DataFrame, DataFrame]:
-    """(key, id) -> distinct candidate pairs (id_a < id_b) + band stats.
+def pairs_from_keys_multi(keyed: DataFrame, cap: int,
+                          group_col: str = "channel",
+                          key_col: str = "key", id_col: str = "image_id"
+                          ) -> tuple[DataFrame, DataFrame]:
+    """(channel, key, id) -> distinct pairs (channel, id_a < id_b) + stats.
 
-    Hot keys (> cap members) are salted into ceil(n/cap) sub-buckets by
-    xxhash64(id); pairs form within sub-buckets only. Returns
-    (pairs, stats) where stats has one row:
-    (n_keys, n_hot_keys, dropped_cross_pairs_estimate).
+    The fused pairing primitive: every LSH-style channel shares ONE
+    explode -> groupBy -> salted self-join dataflow (channel rides in the
+    join key), so five channels cost one set of shuffle stages instead of
+    five. Hot keys (> cap members) are salted into ceil(n/cap) sub-buckets
+    by xxhash64(id); pairs form within sub-buckets only. Stats has one row
+    per channel: (channel, n_keys, n_hot_keys,
+    dropped_cross_pairs_estimate) — dropped pairs are reported, never
+    silent (north_rule hot-band splitting).
     """
     # counts is tiny (one row per key) and read twice: by the salted
     # re-join AND the stats aggregate — cache it so the explode+groupBy
     # shuffle runs once
-    counts = keyed.groupBy(key_col).agg(F.count("*").alias("_n")).cache()
-    keyed2 = keyed.join(counts, key_col)
+    counts = (keyed.groupBy(group_col, key_col)
+              .agg(F.count("*").alias("_n")).cache())
+    keyed2 = keyed.join(counts, [group_col, key_col])
     n_salt = F.ceil(F.col("_n") / cap).cast("int")
     salted = keyed2.withColumn(
         "_salt",
         F.when(F.col("_n") > cap,
                F.pmod(F.xxhash64(F.col(id_col)), n_salt)).otherwise(F.lit(0)))
-    a = salted.select(F.col(key_col).alias("_k"), F.col("_salt"),
+    a = salted.select(group_col, F.col(key_col).alias("_k"), F.col("_salt"),
                       F.col(id_col).alias("id_a"))
-    b = salted.select(F.col(key_col).alias("_k"), F.col("_salt"),
+    b = salted.select(group_col, F.col(key_col).alias("_k"), F.col("_salt"),
                       F.col(id_col).alias("id_b"))
-    pairs = (a.join(b, ["_k", "_salt"])
+    pairs = (a.join(b, [group_col, "_k", "_salt"])
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
-    stats = counts.agg(
+             .select(group_col, "id_a", "id_b").distinct())
+    stats = counts.groupBy(group_col).agg(
         F.count("*").alias("n_keys"),
         F.count(F.when(F.col("_n") > cap, 1)).alias("n_hot_keys"),
         F.coalesce(F.sum(F.when(
@@ -64,6 +70,19 @@ def pairs_from_keys(keyed: DataFrame, cap: int,
                 * (F.floor(F.col("_n") / F.ceil(F.col("_n") / cap)) - 1) / 2))
             .cast("long"))), F.lit(0)).alias("dropped_cross_pairs_estimate"))
     return pairs, stats
+
+
+def pairs_from_keys(keyed: DataFrame, cap: int,
+                    key_col: str = "key", id_col: str = "image_id"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Single-channel wrapper over pairs_from_keys_multi (kept for the
+    per-channel API and tests); stats row drops the channel column."""
+    tagged = keyed.withColumn("_ch", F.lit("only"))
+    pairs, stats = pairs_from_keys_multi(tagged, cap, group_col="_ch",
+                                         key_col=key_col, id_col=id_col)
+    return (pairs.select("id_a", "id_b"),
+            stats.select("n_keys", "n_hot_keys",
+                         "dropped_cross_pairs_estimate"))
 
 
 # --------------------------------------------------------------- landmark ---
@@ -82,28 +101,60 @@ def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig) -> DataFrame:
     return prints.join(hot, "hash", "left_anti")
 
 
-def landmark_hits(prints: DataFrame, cfg: PanakoConfig) -> DataFrame:
+def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
+                  numeric_ids: bool = False) -> DataFrame:
     """prints -> raw hit list per candidate pair (canonical id_a < id_b).
 
     The ±range probe relation |h_a - h_b| <= query_range is symmetric, so
-    probing from the lexicographically smaller id only (id_a < id_b)
-    enumerates exactly the union of both query directions of the
-    reference's dedup driver (Deduplication.java:98-108) — verify runs
-    both orientations downstream.
+    probing from the smaller id only (id_a < id_b) enumerates exactly the
+    union of both query directions of the reference's dedup driver
+    (Deduplication.java:98-108) — verify runs both orientations downstream.
+
+    numeric_ids=True replaces the string image_id with xxhash64(image_id)
+    longs in the hit rows (id map recoverable via join): the hit relation
+    is by far the widest shuffle of the pipeline, and 8-byte sort/join
+    keys beat variable-length strings on every axis (shuffle bytes, sort
+    comparisons, Arrow transfer to the verify kernel). At true 10^12-row
+    scale the ingest should mint a dictionary-encoded int64 id instead
+    (64-bit hashing collides at that cardinality); the pipeline only
+    assumes ids are longs, not how they were minted.
     """
     p = hot_hash_filter(prints, cfg)
+    if numeric_ids:
+        p = p.withColumn("_iid", F.xxhash64("image_id"))
+    else:
+        p = p.withColumn("_iid", F.col("image_id"))
     r = cfg.query_range
     probe = (p.select(
-        F.col("image_id").alias("id_a"),
+        F.col("_iid").alias("id_a"),
         F.col("t1").alias("a_t"), F.col("f1").alias("a_f"),
         F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
         .alias("probe_hash")))
-    ref = p.select(F.col("image_id").alias("id_b"),
+    ref = p.select(F.col("_iid").alias("id_b"),
                    F.col("hash").alias("probe_hash"),
                    F.col("t1").alias("b_t"), F.col("f1").alias("b_f"))
     return (probe.join(ref, "probe_hash")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
+
+
+def resolve_numeric_ids(verified: DataFrame, images: DataFrame) -> DataFrame:
+    """Map xxhash64 pair ids back to string image_ids (canonical order).
+
+    The id dimension is tiny relative to the hit relation (one row per
+    image), so Catalyst broadcasts it at bench scale; at cluster scale
+    it is a shuffle join on the long key."""
+    ids = images.select(F.col("image_id"),
+                        F.xxhash64("image_id").alias("_iid"))
+    out = (verified
+           .join(ids.select(F.col("_iid").alias("id_a"),
+                            F.col("image_id").alias("_sa")), "id_a")
+           .join(ids.select(F.col("_iid").alias("id_b"),
+                            F.col("image_id").alias("_sb")), "id_b"))
+    keep = [c for c in verified.columns if c not in ("id_a", "id_b")]
+    return out.select(
+        F.least("_sa", "_sb").alias("id_a"),
+        F.greatest("_sa", "_sb").alias("id_b"), *keep)
 
 
 def prefilter_hits(hits: DataFrame, cfg: PanakoConfig) -> DataFrame:
@@ -189,6 +240,111 @@ def caption_exact_pairs(signatures: DataFrame, cfg: PanakoConfig
                         ) -> tuple[DataFrame, DataFrame]:
     keyed = signatures.select("image_id", F.col("caption_hash").alias("key"))
     return pairs_from_keys(keyed, cfg.band_pair_cap)
+
+
+def _phash_band_keys(cfg: PanakoConfig):
+    bpb = cfg.phash_bits_per_band
+    mask = (1 << bpb) - 1
+    return F.array(*[
+        (F.lit(b << (bpb + 1))
+         + F.shiftrightunsigned(F.col("phash"), b * bpb)
+         .bitwiseAND(F.lit(mask))).alias(f"k{b}")
+        for b in range(cfg.phash_bands)])
+
+
+def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
+                          cfg: PanakoConfig) -> tuple[DataFrame, DataFrame]:
+    """All five signature channels in ONE pairing dataflow.
+
+    The per-channel functions below each build their own
+    explode/groupBy/join DAG — correct, but five channels x ~6 shuffle
+    stages of tiny data is pure scheduling overhead at bench scale and
+    five synchronization barriers at cluster scale. Here the keyed rows
+    are unioned with a channel tag first, pair once, then verify each
+    channel's candidates with its own predicate in a single joined
+    projection (whole-stage codegen; no Python).
+
+    Returns (pairs(channel, id_a, id_b), stats(channel, n_keys,
+    n_hot_keys, dropped_cross_pairs_estimate)).
+    """
+    ch = F.lit
+    keyed = (
+        signatures.select("image_id", F.explode("mh_bands").alias("key"),
+                          ch("minhash").alias("channel"))
+        .unionByName(signatures.select(
+            "image_id", F.explode("sh_bands").alias("key"),
+            ch("simhash").alias("channel")))
+        .unionByName(signatures.select(
+            "image_id", F.explode(_phash_band_keys(cfg)).alias("key"),
+            ch("phash").alias("channel")))
+        .unionByName(signatures.select(
+            "image_id", F.col("caption_hash").alias("key"),
+            ch("caption_exact").alias("channel")))
+        .unionByName(signatures.select(
+            "image_id", F.explode("substr_fps").alias("key"),
+            ch("caption_substring").alias("channel"))))
+    cand, stats = pairs_from_keys_multi(keyed, cfg.band_pair_cap)
+    # four per-channel branches read cand below — one materialization
+    # (MEMORY_AND_DISK; the 10^12-scale equivalent is a checkpoint table)
+    cand = cand.cache()
+
+    # Per-channel verification, each joining ONLY the columns it needs.
+    # The bit channels (simhash/phash) dominate raw candidate volume —
+    # 8-bit band keys collide at rate n²/2^bits regardless of data — but
+    # their verify is one xor+popcount on a long. Dragging the 128-perm
+    # MinHash arrays into that join (measured: ~2 KB/row x 600k raw
+    # candidates) costs more than every verification combined, so the
+    # wide arrays only ever join the MinHash channel's own (tiny,
+    # high-entropy-banded) candidate set.
+    def _two_sided(df: DataFrame, col: str, alias_a: str, alias_b: str):
+        a = df.select(F.col("image_id").alias("id_a"),
+                      F.col(col).alias(alias_a))
+        b = df.select(F.col("image_id").alias("id_b"),
+                      F.col(col).alias(alias_b))
+        return a, b
+
+    bits = (cand.where(F.col("channel").isin("simhash", "phash"))
+            .join(signatures.select("image_id", "simhash", "phash")
+                  .withColumnRenamed("image_id", "id_a")
+                  .withColumnRenamed("simhash", "_sa")
+                  .withColumnRenamed("phash", "_pa"), "id_a")
+            .join(signatures.select("image_id", "simhash", "phash")
+                  .withColumnRenamed("image_id", "id_b")
+                  .withColumnRenamed("simhash", "_sb")
+                  .withColumnRenamed("phash", "_pb"), "id_b")
+            .where(F.when(F.col("channel") == "simhash",
+                          F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                          <= cfg.simhash_hamming_threshold)
+                   .otherwise(
+                       F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+                       <= cfg.phash_hamming_threshold))
+            .select("channel", "id_a", "id_b"))
+
+    ma, mb = _two_sided(signatures.select("image_id", "minhash"),
+                        "minhash", "_ma", "_mb")
+    jacc = (F.aggregate(F.zip_with("_ma", "_mb",
+                                   lambda x, y: (x == y).cast("int")),
+                        F.lit(0), lambda acc, v: acc + v)
+            / F.lit(cfg.minhash_perms))
+    mh = (cand.where(F.col("channel") == "minhash")
+          .join(ma, "id_a").join(mb, "id_b")
+          .where(jacc >= cfg.minhash_jaccard_threshold)
+          .select("channel", "id_a", "id_b"))
+
+    caps = images.select("image_id", "caption")
+    ca, cb = _two_sided(caps, "caption", "_ca", "_cb")
+    thresh = cfg.substring_min_len + 8 - 1  # winnow window w=8 (suffix.py)
+    substr_ok = (((F.length("_ca") >= thresh) & F.contains("_cb", "_ca"))
+                 | ((F.length("_cb") >= thresh) & F.contains("_ca", "_cb")))
+    sub = (cand.where(F.col("channel") == "caption_substring")
+           .join(ca, "id_a").join(cb, "id_b")
+           .where(substr_ok)
+           .select("channel", "id_a", "id_b"))
+
+    exact = cand.where(F.col("channel") == "caption_exact")
+
+    out = exact.unionByName(bits).unionByName(mh).unionByName(sub)
+    return out, stats
 
 
 def caption_substring_pairs(signatures: DataFrame, images: DataFrame,
