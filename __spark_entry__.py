@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": TXT.lang_id,
         "doc_fingerprint": TXT.doc_fingerprint,
         "prefix_dup_groups": TXT.prefix_dup_groups,
+        "exact_dup_groups": TXT.exact_dup_groups,
         "ngram_jaccard_pairs": TXT.ngram_jaccard_pairs,
         # --- similarity search / embedding dedup ---
         "embedding_topk": ANN.cosine_topk_bruteforce,
@@ -219,6 +220,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT prefix_key, count(*) AS n_docs
             FROM f GROUP BY prefix_key HAVING count(*) > 1
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_key, count(*) AS n_docs,
+                   min(doc_id) AS rep_doc
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -42,33 +42,41 @@ HEADLINE = [
 ]
 
 
-def bench_corpus_path(n_base: int) -> str:
+def bench_corpus_path(n_base: int, spark=None) -> str:
     """Deterministic synthetic images parquet, cached across runs (same
     seed => same bytes), so scaling runs at two parallelism levels read
-    identical input."""
+    identical input. Large corpora generate Spark-parallel (content is
+    per-base-index seeded, so parallelism does not change the bytes)."""
     path = os.path.join(tempfile.gettempdir(),
-                        f"panako_bench_corpus_v2_{n_base}")
+                        f"panako_bench_corpus_v3_{n_base}")
     marker = os.path.join(path, "_SUCCESS_GEN")
     if not os.path.exists(marker):
-        from panako_spark.data.synth import generate_corpus, rows_to_pandas
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rows, _ = generate_corpus(n_base, dup_fraction=0.3, seed=1234)
-        pdf = rows_to_pandas(rows)
         shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
-        # MANY FILES, not one: a single parquet file yields only
-        # size/128MB input splits and serializes the extract stage —
-        # measured as local[32] running SLOWER than local[8]
-        n_files = 64
-        per = (len(pdf) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = pdf.iloc[i * per:(i + 1) * per]
-            if len(chunk):
-                pq.write_table(pa.Table.from_pandas(chunk),
-                               os.path.join(path, f"part-{i:03d}.parquet"),
-                               row_group_size=64)
+        if spark is not None and n_base >= 2000:
+            from panako_spark.data.synth import write_corpus_spark
+
+            # MANY FILES, not one: a single parquet file yields only
+            # size/128MB input splits and serializes the extract stage
+            write_corpus_spark(spark, path, n_base, dup_fraction=0.3,
+                               seed=1234, n_files=max(64, n_base // 500))
+        else:
+            from panako_spark.data.synth import (
+                generate_corpus, rows_to_pandas,
+            )
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows, _ = generate_corpus(n_base, dup_fraction=0.3, seed=1234)
+            pdf = rows_to_pandas(rows)
+            os.makedirs(path, exist_ok=True)
+            n_files = 64
+            per = (len(pdf) + n_files - 1) // n_files
+            for i in range(n_files):
+                chunk = pdf.iloc[i * per:(i + 1) * per]
+                if len(chunk):
+                    pq.write_table(pa.Table.from_pandas(chunk),
+                                   os.path.join(path, f"part-{i:03d}.parquet"),
+                                   row_group_size=64)
         with open(marker, "w") as f:
             f.write("ok")
     return path
@@ -93,10 +101,11 @@ def main() -> None:
 
     from panako_spark.session import get_spark
 
-    # shuffle partitions fixed across parallelism levels: scaling runs
-    # must differ ONLY in cores, and small files need small splits
+    # shuffle partitions scale with the "cluster size" (4x cores), the
+    # standard cluster-proportional sizing — a 4N-executor cluster runs
+    # 4x the reducers; AQE coalescing governs the actual runtime counts
     spark = get_spark("panako-bench", cpus=args.cpus,
-                      shuffle_partitions=64,
+                      shuffle_partitions=4 * args.cpus,
                       extra_conf={"spark.sql.files.maxPartitionBytes":
                                   str(8 * 1024 * 1024)})
     timings: dict[str, float] = {}
@@ -119,25 +128,24 @@ def main() -> None:
         from panako_spark.io.checkpoint import CheckpointStore
         from panako_spark.pipeline import run_pipeline
 
-        corpus = bench_corpus_path(args.n_base)
+        corpus = bench_corpus_path(args.n_base, spark=spark)
         images = spark.read.parquet(corpus)
         n_images = images.count()
         ckpt = tempfile.mkdtemp(prefix="panako_bench_ckpt_")
         store = CheckpointStore(ckpt)
         t0 = time.monotonic()
+        stage_stats: dict = {}
         if args.mode == "store":
-            from panako_spark.stages.extract import (
-                run_extract, split_prints, split_signatures,
-            )
-            cfg = PanakoConfig()
-            extracted = store.read_or_compute(
-                spark, "extracted", lambda: run_extract(images, cfg))
-            store.write(split_prints(extracted), "prints")
-            store.write(split_signatures(extracted), "signatures")
+            from panako_spark.pipeline import materialize_extract
+
+            materialize_extract(spark, images, store, PanakoConfig(),
+                                stage_stats)
             key = "image_store"
         else:
             res = run_pipeline(spark, images, store, PanakoConfig())
             res.clusters.count()
+            stage_stats = {k: v for k, v in res.stats.items()
+                           if k.startswith("t_")}
             key = "image_dedup_pipeline"
         dt = time.monotonic() - t0
         timings[key] = round(dt, 3)
@@ -156,6 +164,8 @@ def main() -> None:
         "n_images": n_images,
         "images_per_sec": images_per_sec,
     }
+    if not args.skip_pipeline and stage_stats:
+        out["stages"] = stage_stats
     print(json.dumps(out))
     spark.stop()
 

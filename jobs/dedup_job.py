@@ -49,11 +49,25 @@ def main() -> None:
     from panako_spark.pipeline import run_pipeline
 
     if args.synthetic:
-        from panako_spark.data.synth import generate_corpus, rows_to_pandas
+        if args.synthetic >= 2000:
+            # cluster-parallel deterministic generation (content is
+            # per-base-index seeded, independent of partitioning)
+            import os
 
-        rows, _ = generate_corpus(args.synthetic, dup_fraction=0.3,
-                                  seed=args.seed)
-        images = spark.createDataFrame(rows_to_pandas(rows))
+            from panako_spark.data.synth import write_corpus_spark
+
+            path = os.path.join(args.store, "_synthetic_input")
+            write_corpus_spark(spark, path, args.synthetic,
+                               dup_fraction=0.3, seed=args.seed)
+            images = spark.read.parquet(path)
+        else:
+            from panako_spark.data.synth import (
+                generate_corpus, rows_to_pandas,
+            )
+
+            rows, _ = generate_corpus(args.synthetic, dup_fraction=0.3,
+                                      seed=args.seed)
+            images = spark.createDataFrame(rows_to_pandas(rows))
     elif args.images:
         images = spark.read.parquet(args.images)
     else:

@@ -59,7 +59,13 @@ class PanakoConfig:
     # stop-word hashes: drop landmark hashes present in more than this many
     # distinct images (web-scale noise amplifier guard; applied identically
     # in the golden matcher so parity holds). <=0 disables.
-    hash_max_images: int = 1024
+    # Measured on the 29k-image bench corpus: hashes shared by 9-512
+    # images carried ~92% of raw candidate-pair volume while true dup
+    # groups are <=3 images — without this gate the landmark hit relation
+    # grows ~quadratically in corpus size. Content clusters larger than
+    # the cap (e.g. meme families at web scale) lose only the landmark
+    # channel; the phash/minhash/caption channels still pair them.
+    hash_max_images: int = 16
 
     # ---- match gates (Q5, Q10-Q13) -----------------------------------------
     min_unfiltered_hits: int = 10     # Key.java:359

@@ -217,3 +217,62 @@ def rows_to_pandas(rows: list[SynthRow]):
         "caption": [r.caption for r in rows],
         "phash": np.array([r.phash for r in rows], dtype=np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Spark-parallel corpus generation for large bench corpora.
+#
+# generate_corpus above threads ONE rng through every row, which makes the
+# content depend on generation order — inherently serial (4.6 ms/row on the
+# bench host, so a 100k-image corpus would take ~8 min of driver time).
+# Here each base index i gets its own child rng seeded (seed, i), so any
+# partitioning of the index range produces byte-identical content — the
+# generator parallelizes over all executors while staying deterministic.
+# Used for throughput/scaling corpora; tests and the golden-parity fixtures
+# keep the original serial generator.
+# ---------------------------------------------------------------------------
+
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                 "fmt string, caption string, phash long")
+
+
+def rows_for_base_index(i: int, n_dup_base: int, seed: int) -> list[SynthRow]:
+    """All rows (base + its dups) for base index i; self-deterministic."""
+    rng = np.random.default_rng([seed, 9173, i])
+    base_id = f"img{i:08d}"
+    img = _base_image(rng)
+    cap = make_caption(rng)
+    fmt = "png" if i % 3 == 0 else "raw"
+    rows = [SynthRow(base_id, encode(img, fmt), img.shape[1], img.shape[0],
+                     fmt, cap, phash64(img), img)]
+    if i < n_dup_base:
+        k = int(rng.integers(1, 3))
+        for d in range(k):
+            mod = MODS[int(rng.integers(0, len(MODS)))]
+            cmod = CAPTION_MODS[int(rng.integers(0, len(CAPTION_MODS)))]
+            dimg = modify_image(img, mod, rng)
+            dcap = modify_caption(cap, cmod, rng)
+            did = f"{base_id}_dup{d}_{mod}_{cmod}"
+            dfmt = "raw" if fmt == "png" else "png"
+            rows.append(SynthRow(did, encode(dimg, dfmt), dimg.shape[1],
+                                 dimg.shape[0], dfmt, dcap, phash64(dimg),
+                                 dimg))
+    return rows
+
+
+def write_corpus_spark(spark, out_path: str, n_base: int,
+                       dup_fraction: float = 0.3, seed: int = 1234,
+                       n_files: int = 64) -> None:
+    """Generate the corpus on the cluster and write it as parquet."""
+    n_dup_base = int(n_base * dup_fraction)
+
+    def gen(it):
+        for pdf in it:
+            out: list[SynthRow] = []
+            for i in pdf["id"]:
+                out.extend(rows_for_base_index(int(i), n_dup_base, seed))
+            yield rows_to_pandas(out)
+
+    (spark.range(n_base).repartition(n_files)
+     .mapInPandas(gen, IMAGES_SCHEMA)
+     .write.mode("overwrite").parquet(out_path))

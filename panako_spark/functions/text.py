@@ -83,6 +83,20 @@ def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_docs") > 1))
 
 
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash the full text, keep groups of size > 1
+    (the reference's file-hash dedup mode, Deduplication.java:66-88 /
+    FileUtils.getFileHash). md5 is used as the content key because the
+    DuckDB oracle computes the identical digest; at scale the groupBy is
+    a plain hash-agg with map-side partials."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.md5(F.col("text")).alias("content_key"))
+            .groupBy("content_key")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("rep_doc"))
+            .where(F.col("n_docs") > 1))
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.5) -> DataFrame:
     """n-gram Jaccard near-dup pairs, exact (not MinHash): explode distinct

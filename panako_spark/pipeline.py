@@ -2,7 +2,7 @@
 store -> query -> dedup lifecycle (SURVEY.md §3):
 
     images (Iceberg/parquet)
-      -> extract [mapInPandas, one decode pass]      checkpoint: extracted
+      -> extract [mapInPandas, one decode pass, in-memory persist]
       -> prints / signatures                          checkpoints
       -> candidates: landmark ±range self-join, MinHash/SimHash LSH bands,
          exact caption, substring fingerprints        checkpoint: pairs
@@ -51,6 +51,46 @@ def _band_stats_lineage(spark: SparkSession, stage: str, stats_row,
                "run_id string")
 
 
+def materialize_extract(spark: SparkSession, images: DataFrame,
+                        store: CheckpointStore, cfg: PanakoConfig,
+                        stats: dict | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """One decode pass -> durable prints + signatures checkpoints.
+
+    The extract output is NOT checkpointed: its rows carry ~600-element
+    print arrays per image, and Spark's parquet writer takes the slow
+    row-oriented path for nested columns — measured on the 87k-image
+    bench corpus, writing that intermediate cost ~4x the extract compute
+    itself and, being core-count-independent, capped store-mode scaling
+    at ~0.25 efficiency. Instead the extract persists in memory/disk for
+    exactly two consumers: prints (exploded to FLAT columns — the
+    vectorized parquet path) and signatures (one nested row per image).
+    Resume reads the two durable tables; the ephemeral intermediate is
+    recomputed only if neither is complete.
+    """
+    if store.is_complete("prints") and store.is_complete("signatures"):
+        return store.read(spark, "prints"), store.read(spark, "signatures")
+    stats = stats if stats is not None else {}
+    extracted = run_extract(images, cfg).persist()
+    try:
+        t0 = time.monotonic()
+        # prints carry no pre-partitioning: the landmark probe join
+        # shuffles on the expanded probe_hash anyway. This first action
+        # materializes extract into the cache as a side effect.
+        store.write(split_prints(extracted), "prints")
+        stats["t_extract_prints_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        store.write(split_signatures(extracted), "signatures")
+        stats["t_signatures_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        store.append_lineage(lineage_from_extracted(extracted, "extract",
+                                                    store.run_id))
+        stats["t_lineage_s"] = round(time.monotonic() - t0, 2)
+    finally:
+        extracted.unpersist()
+    return store.read(spark, "prints"), store.read(spark, "signatures")
+
+
 def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                  cfg: PanakoConfig | None = None) -> PipelineResult:
     cfg = cfg or PanakoConfig()
@@ -63,28 +103,16 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         stats[f"t_{name}_s"] = round(time.monotonic() - t0, 2)
         return out
 
-    # ---- extract (one decode pass) -----------------------------------------
-    def compute_extracted() -> DataFrame:
-        return run_extract(images, cfg)
-
     def arrow_batch(rows: int) -> None:
         # runtime-settable; image rows are ~200 KB so extract wants small
         # batches, while flat-int stages want big ones
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(rows))
 
+    # ---- extract (one decode pass) -----------------------------------------
     arrow_batch(cfg.arrow_batch_rows)
-    extracted = timed("extract", lambda: store.read_or_compute(
-        spark, "extracted", compute_extracted))
-    store.append_lineage(lineage_from_extracted(extracted, "extract",
-                                                store.run_id))
-
-    # prints carry no partitioning: the landmark probe join shuffles on the
-    # expanded probe_hash anyway, so a pre-shuffle on hash is wasted work
-    prints = timed("prints", lambda: store.read_or_compute(
-        spark, "prints", lambda: split_prints(extracted)))
-    signatures = timed("signatures", lambda: store.read_or_compute(
-        spark, "signatures", lambda: split_signatures(extracted)))
+    prints, signatures = timed("extract", lambda: materialize_extract(
+        spark, images, store, cfg, stats))
 
     # ---- landmark channel: probe join + alignment verify --------------------
     arrow_batch(8192)

@@ -98,37 +98,26 @@ def make_verify_batches(cfg: PanakoConfig, numeric_ids: bool = False):
                              best.coverage, best.q_start, best.q_stop))
 
     def verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+        # Buffer the whole partition as NumPy columns, process once: a
+        # pair's run never crosses a partition (hash-partitioned on the
+        # pair key), and per-batch pandas slicing/concat dominated stage
+        # time at 10^7-row volumes. Memory: 6 int columns per partition.
+        bufs: dict[str, list[np.ndarray]] = {
+            k: [] for k in ("id_a", "id_b", "a_t", "a_f", "b_t", "b_f")}
+        n_rows = 0
         for batch in it:
-            if carry is not None:
-                batch = pd.concat([carry, batch], ignore_index=True)
-            ids_a = batch["id_a"].to_numpy()
-            ids_b = batch["id_b"].to_numpy()
-            n = len(batch)
-            # keep the last run as carry — it may continue in the next batch
-            last_start = 0
-            if n:
-                same = (ids_a == ids_a[-1]) & (ids_b == ids_b[-1])
-                last_start = int(n - same[::-1].argmin()
-                                 if not same.all() else 0)
-            carry = batch.iloc[last_start:]
-            head = batch.iloc[:last_start]
-            rows: list = []
-            if len(head):
-                _process(head["id_a"].to_numpy(), head["id_b"].to_numpy(),
-                         head["a_t"].to_numpy(np.int64),
-                         head["a_f"].to_numpy(np.int64),
-                         head["b_t"].to_numpy(np.int64),
-                         head["b_f"].to_numpy(np.int64), rows)
-            yield _emit(rows)
-        if carry is not None and len(carry):
-            rows = []
-            _process(carry["id_a"].to_numpy(), carry["id_b"].to_numpy(),
-                     carry["a_t"].to_numpy(np.int64),
-                     carry["a_f"].to_numpy(np.int64),
-                     carry["b_t"].to_numpy(np.int64),
-                     carry["b_f"].to_numpy(np.int64), rows)
-            yield _emit(rows)
+            for k in bufs:
+                bufs[k].append(batch[k].to_numpy())
+            n_rows += len(batch)
+        rows: list = []
+        if n_rows:
+            cat = {k: np.concatenate(v) for k, v in bufs.items()}
+            _process(cat["id_a"], cat["id_b"],
+                     cat["a_t"].astype(np.int64, copy=False),
+                     cat["a_f"].astype(np.int64, copy=False),
+                     cat["b_t"].astype(np.int64, copy=False),
+                     cat["b_f"].astype(np.int64, copy=False), rows)
+        yield _emit(rows)
 
     return verify_batches
 
@@ -138,15 +127,22 @@ def run_verify(hits: DataFrame, cfg: PanakoConfig,
                numeric_ids: bool = False) -> DataFrame:
     """hits(id_a, id_b, a_t, a_f, b_t, b_f) -> verified pairs with score.
 
-    One hash exchange on the pair key + a partition-local sort; the Q5
-    gate and the Q6-Q13 alignment kernel run in a single Python pass over
-    flat Arrow columns. With numeric_ids the id columns are int64 (see
-    landmark_hits) — the shuffle, sort, and Arrow transfer all run on
-    fixed-width keys.
+    One hash exchange on the pair key; the Q5 gate runs JVM-side as a
+    window count over the exchange's own sort (noise pairs with < 10
+    hits are ~95% of the hit relation on the bench corpus — gating them
+    before the Python boundary cuts the Arrow transfer ~20x), then the
+    Q6-Q13 alignment kernel does one NumPy pass per partition over flat
+    columns. With numeric_ids the id columns are int64 (see
+    landmark_hits) — shuffle, sort, and Arrow all on fixed-width keys.
     """
+    from pyspark.sql import Window
+
     n = partitions or cfg.shuffle_partitions
-    clustered = (hits.repartition(n, "id_a", "id_b")
-                 .sortWithinPartitions("id_a", "id_b"))
+    w = Window.partitionBy("id_a", "id_b")
+    gated = (hits.repartition(n, "id_a", "id_b")
+             .withColumn("_n", F.count("*").over(w))
+             .where(F.col("_n") >= cfg.min_unfiltered_hits)  # Q5, JVM-side
+             .drop("_n"))
     schema = verified_schema(T.LongType() if numeric_ids else T.StringType())
-    return clustered.mapInPandas(
+    return gated.mapInPandas(
         make_verify_batches(cfg, numeric_ids=numeric_ids), schema)
