@@ -72,17 +72,22 @@ def store_incremental(spark: SparkSession, images: DataFrame,
         new_images = images.join(existing, "image_id", "left_anti")
     else:
         new_images = images
-    extracted = run_extract(new_images, cfg)
-    new_prints = split_prints(extracted)
-    new_sigs = split_signatures(extracted)
-    n_new = new_sigs.count()
-    if n_new == 0:
-        return {"new_images": 0}
-    mode = "append" if have_sig else "overwrite"
-    new_prints.write.mode(mode).parquet(store.path("prints"))
-    new_sigs.write.mode(mode).parquet(store.path("signatures"))
-    for t in ("prints", "signatures"):
-        store._mark_complete(t, store.read(spark, t).count())
+    # one decode pass feeds the count and both writes (same pattern as
+    # pipeline.materialize_extract: never write the nested intermediate)
+    extracted = run_extract(new_images, cfg).persist()
+    try:
+        new_prints = split_prints(extracted)
+        new_sigs = split_signatures(extracted)
+        n_new = new_sigs.count()
+        if n_new == 0:
+            return {"new_images": 0}
+        mode = "append" if have_sig else "overwrite"
+        new_prints.write.mode(mode).parquet(store.path("prints"))
+        new_sigs.write.mode(mode).parquet(store.path("signatures"))
+        for t in ("prints", "signatures"):
+            store._mark_complete(t, store.read(spark, t).count())
+    finally:
+        extracted.unpersist()
     return {"new_images": n_new}
 
 

@@ -129,9 +129,21 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         spark, "verified", compute_verified))
 
     # ---- signature channels, fused ------------------------------------------
+    fused_stats_box: list = []
+
     def compute_pairs() -> DataFrame:
         fused, fused_stats = C.fused_candidate_pairs(signatures, images, cfg)
-        rows = fused_stats.collect()
+        fused_stats_box.append(fused_stats)
+        lm = verified.select(F.lit("landmark").alias("channel"),
+                             "id_a", "id_b")
+        return lm.unionByName(fused).select("id_a", "id_b", "channel")
+
+    dup_pairs = timed("pairs", lambda: store.read_or_compute(
+        spark, "dup_pairs", compute_pairs))
+    if fused_stats_box:
+        # collected AFTER the pairs write: the band-count cache is warm
+        # by then, so the stats job costs ~nothing serial
+        rows = fused_stats_box[0].collect()
         for row in rows:
             stats[f"bands_{row['channel']}"] = {k: row[k] for k in (
                 "n_keys", "n_hot_keys", "dropped_cross_pairs_estimate")}
@@ -143,12 +155,6 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             schema="stage string, partition_id int, input_count long, "
                    "signature_count long, band_count long, elapsed_ms long, "
                    "run_id string"))
-        lm = verified.select(F.lit("landmark").alias("channel"),
-                             "id_a", "id_b")
-        return lm.unionByName(fused).select("id_a", "id_b", "channel")
-
-    dup_pairs = timed("pairs", lambda: store.read_or_compute(
-        spark, "dup_pairs", compute_pairs))
 
     # ---- clustering ------------------------------------------------------------
     clusters = timed("cluster", lambda: store.read_or_compute(
