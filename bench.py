@@ -86,7 +86,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--n-base", type=int, default=600)
+    ap.add_argument("--n-base", type=int, default=1500)
     ap.add_argument("--skip-tables", action="store_true")
     ap.add_argument("--skip-pipeline", action="store_true")
     ap.add_argument("--mode", choices=["full", "store"], default="full",
@@ -166,6 +166,14 @@ def main() -> None:
     }
     if not args.skip_pipeline and stage_stats:
         out["stages"] = stage_stats
+        # the reference's own headline protocol is store-rate; the
+        # ingest (extract -> prints+signatures) happens inside the
+        # pipeline run, so report its rate too. Scaling evidence
+        # (N vs 4N medians) lives in BENCH/BASELINE.md.
+        t_store = (stage_stats.get("t_extract_prints_s", 0)
+                   + stage_stats.get("t_signatures_s", 0))
+        if t_store and n_images:
+            out["store_images_per_sec"] = round(n_images / t_store, 2)
     print(json.dumps(out))
     spark.stop()
 
