@@ -81,3 +81,27 @@ def test_stats_scan_single_shuffle(spark):
 def test_min_hits_gate_single_shuffle(spark):
     # groupBy + HAVING must be ONE exchange with partial aggregation
     assert shuffle_count(R.min_hits_gate(spark, SF)) <= 1
+
+def test_verify_stage_single_pair_exchange(spark, cfg):
+    """The verify redesign's core invariant: between the landmark hit
+    relation and the Python kernel there is exactly ONE exchange (the
+    pair-key repartition); the Q5 gate is a JVM Window+Filter on that
+    exchange's own sort, and the kernel is the only Python node."""
+    from panako_spark.plans.inspect import plan
+    from panako_spark.stages.candidates import landmark_hits
+    from panako_spark.stages.verify import run_verify
+
+    prints = spark.createDataFrame(
+        [(f"i{k}", (k * 37) % 91, k % 7, k % 5) for k in range(300)],
+        "image_id string, hash long, t1 int, f1 int")
+    v = run_verify(landmark_hits(prints, cfg, numeric_ids=True), cfg,
+                   numeric_ids=True)
+    p = plan(v)
+    tree = p.split("\n\n", 1)[0]  # the indented operator tree only
+    assert tree.count("MapInPandas") == 1
+    assert "Window" in tree
+    # tree prints top-down: the segment between the python node and the
+    # probe join it consumes must contain exactly one Exchange (the
+    # pair-key repartition that Window/Sort/Filter all reuse)
+    segment = tree.split("MapInPandas", 1)[1].split("SortMergeJoin", 1)[0]
+    assert segment.count("Exchange") == 1, segment
