@@ -30,6 +30,16 @@ class PanakoConfig:
     freq_samples: int = 256       # vertical resample length before rfft (E2)
     # -> freq_bins = freq_samples//2 = 128 usable bins (bin 0/DC dropped:
     #    brightness invariance; reference drops nothing but its CQT has no DC)
+    # log-frequency remap (the reference's constant-Q move,
+    # PanakoEventPointProcessor.java:105): vertical crop/rescale becomes a
+    # frequency TRANSLATION instead of a scaling, so the triplet Δf hash
+    # fields survive crops. Measured on the 580-image corpus: landmark
+    # channel +23% true pairs, truth-pair recall 0.941 -> 0.948, cluster
+    # closure 0.963 -> 0.967; widening the f1 bucket on top changes
+    # nothing (the residual misses share too little content, not too
+    # coarse a hash). See kernels/spectral._remap_log.
+    log_freq: bool = True
+    log_fmin_bin: int = 2         # lowest linear bin mapped to log bin 0
 
     # ---- event-point extraction (E3-E5) ------------------------------------
     # Reference: 103-bin vertical x 25-frame horizontal max filter

@@ -40,6 +40,36 @@ def _resample_rows(mat: np.ndarray, n_out: int) -> np.ndarray:
     return mat[:, i0] * (1.0 - w1) + mat[:, i1] * w1
 
 
+def _log_positions(cfg: PanakoConfig) -> np.ndarray:
+    """Log-spaced source positions over the linear spectrum (memoized)."""
+    key = (cfg.freq_bins, cfg.log_fmin_bin)
+    cached = _log_positions.__dict__.get("cache")
+    if cached is None or cached[0] != key:
+        # geometric grid from fmin to the top bin, in 0-based coordinates
+        # of the post-DC-drop linear spectrum (bin i = linear bin i+1)
+        pos = np.geomspace(cfg.log_fmin_bin, cfg.freq_bins,
+                           cfg.freq_bins) - 1.0
+        _log_positions.cache = (key, pos)
+        cached = _log_positions.cache
+    return cached[1]
+
+
+def _remap_log(spec: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
+    """Resample each frame's linear spectrum onto a log-frequency grid.
+
+    The constant-Q move from the reference (PanakoEventPointProcessor.
+    java:105,120-125): on a log axis a frequency *scaling* (what a
+    vertical crop/rescale does to our column-profile spectrum) becomes a
+    pure *translation*, so triplet Δf fields — 12 of the hash's low
+    bits — are invariant under crops, and only the coarse f1 bucket
+    moves."""
+    pos = _log_positions(cfg)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, spec.shape[1] - 1)
+    w1 = (pos - i0).astype(spec.dtype)
+    return spec[:, i0] * (1.0 - w1) + spec[:, i1] * w1
+
+
 def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
     """(h, w) float32 luma -> (n_frames, freq_bins) float32 log-magnitude."""
     h, w = gray.shape
@@ -60,4 +90,6 @@ def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
     # remove per-frame mean (brightness invariance beyond the DC drop)
     profiles -= profiles.mean(axis=1, keepdims=True)
     spec = np.abs(np.fft.rfft(profiles, axis=1))[:, 1 : cfg.freq_bins + 1]
+    if cfg.log_freq:
+        spec = _remap_log(spec, cfg)
     return np.log1p(spec).astype(np.float32)

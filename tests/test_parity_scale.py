@@ -77,15 +77,13 @@ def test_union_parity_at_scale(pipeline_pairs_m, golden_union_m):
 
 
 def test_truth_recall_at_scale(pipeline_pairs_m, corpus_m):
-    """Ground-truth quality (not the parity criterion). Measured floor on
-    this corpus: pairwise 0.94, cluster-closure 0.956 — the misses are
-    the hardest modification combo (80-95% crop + caption token
-    substitution), where the linear-frequency spectrogram breaks the
-    landmark hash's fine f-delta fields (a crop rescales f), captions
-    lose >half their shingles, and phash moves past its Hamming gate.
-    The reference survives the analogous pitch-shift case through its
-    log-frequency CQT (scaling -> translation); adopting log-spaced
-    vertical sampling is the known fix (SURVEY.md §7)."""
+    """Ground-truth quality (not the parity criterion). Measured on this
+    corpus with the log-frequency axis (cfg.log_freq): pairwise 0.948,
+    cluster-closure 0.967. The residual misses are the hardest
+    modification combo (80-95% crop + caption token substitution) where
+    the surviving shared content is below the >=10-aligned-hits gate and
+    captions lose >half their shingles — see SURVEY.md §7 for the
+    round-2 precision/recall options."""
     pairs, clique = pipeline_pairs_m[0], corpus_m[1]
     recall = len(pairs & clique) / len(clique)
     assert recall >= 0.90, (
