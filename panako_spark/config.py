@@ -75,7 +75,14 @@ class PanakoConfig:
     # grows ~quadratically in corpus size. Content clusters larger than
     # the cap (e.g. meme families at web scale) lose only the landmark
     # channel; the phash/minhash/caption channels still pair them.
+    # The effective cap is corpus-size-aware: max(hash_max_images,
+    # hash_max_images_frac * n_images) — 16 is a bench-tuned FLOOR for
+    # small corpora (true dup groups <= 3 there); real deployments with
+    # template/meme clusters get a cap that grows with the corpus
+    # (1M images -> 1000) instead of silently losing the landmark channel
+    # for every content cluster past a fixed 16.
     hash_max_images: int = 16
+    hash_max_images_frac: float = 0.001
 
     # ---- match gates (Q5, Q10-Q13) -----------------------------------------
     min_unfiltered_hits: int = 10     # Key.java:359
@@ -141,6 +148,40 @@ class PanakoConfig:
 
     def with_(self, **kw) -> "PanakoConfig":
         return replace(self, **kw)
+
+    def effective_hash_max_images(self, n_images: int | None) -> int:
+        """Corpus-size-aware stop-word cap (see hash_max_images). A pure
+        function of (cfg, n_images) so the Spark candidates stage and the
+        single-node golden matcher compute the identical cap — parity
+        depends on it."""
+        if self.hash_max_images <= 0:
+            return self.hash_max_images
+        if not n_images:
+            return self.hash_max_images
+        return max(self.hash_max_images,
+                   int(self.hash_max_images_frac * n_images))
+
+    def extraction_fingerprint(self) -> str:
+        """Stable hash of every config field that changes the on-disk
+        fingerprint/signature format. Stamped into checkpoint manifests so
+        an append with a different extractor config (e.g. log_freq
+        toggled — every landmark hash moves) is refused instead of
+        silently producing a mixed-format store whose cross-boundary
+        pairs never match."""
+        import hashlib
+
+        fields = (
+            "frame_width", "frame_step", "freq_samples", "log_freq",
+            "log_fmin_bin", "max_filter_freq", "max_filter_time",
+            "min_peak_magnitude", "max_peaks_per_image",
+            "min_time_distance", "max_time_distance", "min_freq_distance",
+            "max_freq_distance", "max_prints_per_image",
+            "minhash_perms", "minhash_bands", "minhash_shingle",
+            "minhash_seed", "simhash_bits", "simhash_bands",
+            "phash_bands", "substring_min_len",
+        )
+        blob = ";".join(f"{k}={getattr(self, k)!r}" for k in fields)
+        return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
 
     @property
     def freq_bins(self) -> int:

@@ -52,13 +52,39 @@ class CheckpointStore:
         except (json.JSONDecodeError, OSError):
             return False
 
-    def _mark_complete(self, table: str, rows: int) -> None:
+    def _mark_complete(self, table: str, rows: int,
+                       config_fp: str | None = None) -> None:
         p = self._manifest_path(table)
         tmp = p + f".tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump({"complete": True, "rows": rows, "table": table,
-                       "run_id": self.run_id, "ts": time.time()}, f)
+                       "run_id": self.run_id, "ts": time.time(),
+                       "config_fp": config_fp}, f)
         os.replace(tmp, p)  # atomic on POSIX
+
+    def manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {}
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return {}
+
+    def check_config_fp(self, table: str, config_fp: str) -> None:
+        """Refuse to mix fingerprint formats in one store: appending
+        prints extracted under a different extractor config (e.g.
+        log_freq toggled — every landmark hash moves) would silently
+        produce a store whose cross-boundary pairs never match."""
+        stored = self.manifest(table).get("config_fp")
+        if stored is not None and stored != config_fp:
+            raise ValueError(
+                f"checkpoint table '{table}' was written with extractor "
+                f"config {stored}, current config is {config_fp}; "
+                "re-extract the store (store.invalidate + full run) or "
+                "restore the original config — appending would mix "
+                "incompatible fingerprint formats.")
 
     def invalidate(self, table: str) -> None:
         p = self._manifest_path(table)
@@ -71,12 +97,15 @@ class CheckpointStore:
 
     def write(self, df: DataFrame, table: str,
               partition_by: list[str] | None = None,
-              count_rows: bool = False) -> int:
+              count_rows: bool = False,
+              config_fp: str | None = None) -> int:
         """Overwrite-write a stage output and mark it complete.
 
         Row counting re-scans the output (one extra job per stage —
         driver-serial cost that caps scaling efficiency), so it is off by
         default; the manifest records -1 unless count_rows is set.
+        config_fp stamps the extractor-config fingerprint for tables
+        whose row format depends on it (prints/signatures).
         """
         w = df.write.mode("overwrite")
         if partition_by:
@@ -85,7 +114,7 @@ class CheckpointStore:
         rows = -1
         if count_rows:
             rows = df.sparkSession.read.parquet(self.path(table)).count()
-        self._mark_complete(table, rows)
+        self._mark_complete(table, rows, config_fp=config_fp)
         return rows
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:

@@ -48,7 +48,7 @@ class GoldenMatcher:
         rule the Spark candidates stage applies (candidates.hot_hash_filter),
         so golden/pipeline parity holds at any scale. Memoized per index
         size."""
-        cap = self.cfg.hash_max_images
+        cap = self.cfg.effective_hash_max_images(len(self._prints))
         if cap <= 0:
             return set()
         key = (cap, len(self._prints))

@@ -44,7 +44,8 @@ def delete_resources(spark: SparkSession, store: CheckpointStore,
         shutil.rmtree(store.path(table))
         shutil.move(store.path(tmp), store.path(table))
         store.invalidate(tmp)
-        store._mark_complete(table, rows)
+        store._mark_complete(table, rows,
+                             config_fp=store.manifest(table).get("config_fp"))
         out[table] = rows
     return out
 
@@ -66,8 +67,13 @@ def store_incremental(spark: SparkSession, images: DataFrame,
     signatures table (column pruning keeps the scan narrow); re-running
     with the same input is a no-op — the idempotent-resume property the
     reference gets from hasResource."""
+    fp = cfg.extraction_fingerprint()
     have_sig = store.is_complete("signatures")
     if have_sig:
+        # refuse to append prints extracted under a different config —
+        # a mixed-format store's cross-boundary pairs silently never match
+        store.check_config_fp("signatures", fp)
+        store.check_config_fp("prints", fp)
         existing = store.read(spark, "signatures").select("image_id")
         new_images = images.join(existing, "image_id", "left_anti")
     else:
@@ -78,14 +84,30 @@ def store_incremental(spark: SparkSession, images: DataFrame,
     try:
         new_prints = split_prints(extracted)
         new_sigs = split_signatures(extracted)
-        n_new = new_sigs.count()
+        # count + print volume in ONE action on the cached extract — no
+        # read-back re-scan of the stored tables (that extra job per call
+        # was pure driver-serial cost)
+        m = extracted.agg(F.count("*").alias("n"),
+                          F.coalesce(F.sum(F.when(F.col("err").isNull(),
+                                                  F.col("n_prints"))),
+                                     F.lit(0)).alias("np")).first()
+        n_new, n_new_prints = int(m["n"]), int(m["np"])
         if n_new == 0:
             return {"new_images": 0}
         mode = "append" if have_sig else "overwrite"
         new_prints.write.mode(mode).parquet(store.path("prints"))
         new_sigs.write.mode(mode).parquet(store.path("signatures"))
-        for t in ("prints", "signatures"):
-            store._mark_complete(t, store.read(spark, t).count())
+        # manifest rows accumulate from the job's own metrics
+        prev_sig = store.manifest("signatures").get("rows", -1) or -1
+        prev_pr = store.manifest("prints").get("rows", -1) or -1
+        def _acc(prev: int, add: int) -> int:
+            if not have_sig:
+                return add
+            return prev + add if prev >= 0 else -1  # unknown stays unknown
+        sig_rows = _acc(prev_sig, n_new)
+        pr_rows = _acc(prev_pr, n_new_prints)
+        store._mark_complete("signatures", sig_rows, config_fp=fp)
+        store._mark_complete("prints", pr_rows, config_fp=fp)
     finally:
         extracted.unpersist()
     return {"new_images": n_new}

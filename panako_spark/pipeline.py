@@ -77,10 +77,11 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
         # prints carry no pre-partitioning: the landmark probe join
         # shuffles on the expanded probe_hash anyway. This first action
         # materializes extract into the cache as a side effect.
-        store.write(split_prints(extracted), "prints")
+        fp = cfg.extraction_fingerprint()
+        store.write(split_prints(extracted), "prints", config_fp=fp)
         stats["t_extract_prints_s"] = round(time.monotonic() - t0, 2)
         t0 = time.monotonic()
-        store.write(split_signatures(extracted), "signatures")
+        store.write(split_signatures(extracted), "signatures", config_fp=fp)
         stats["t_signatures_s"] = round(time.monotonic() - t0, 2)
         t0 = time.monotonic()
         store.append_lineage(lineage_from_extracted(extracted, "extract",
@@ -91,11 +92,35 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
     return store.read(spark, "prints"), store.read(spark, "signatures")
 
 
+def corpus_census(images: DataFrame) -> tuple[int, int, int]:
+    """(n_rows, n_distinct_ids, n_distinct_hashed_ids) in ONE action.
+
+    Feeds the corpus-size-aware stop-word cap AND the xxhash64 id
+    collision guard: the verify shuffle runs on xxhash64(image_id) longs
+    (candidates.landmark_hits), and a collision between two distinct
+    images would silently merge their hit lists. Detect it loudly here —
+    at 10^12-id scale mint dictionary ids at ingest instead."""
+    row = images.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("image_id").alias("nd"),
+        F.countDistinct(F.xxhash64("image_id")).alias("nh")).first()
+    return int(row["n"]), int(row["nd"]), int(row["nh"])
+
+
 def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                  cfg: PanakoConfig | None = None) -> PipelineResult:
     cfg = cfg or PanakoConfig()
     stats: dict = {}
     t_start = time.monotonic()
+
+    n_images, n_ids, n_hashed = corpus_census(images)
+    if n_ids != n_hashed:
+        raise RuntimeError(
+            f"xxhash64(image_id) collision: {n_ids} distinct ids -> "
+            f"{n_hashed} distinct hashes. Two images would silently share "
+            "a numeric id; mint dictionary-encoded int64 ids at ingest "
+            "(candidates.landmark_hits docstring) and rerun.")
+    stats["n_images"] = n_images
 
     def timed(name: str, fn):
         t0 = time.monotonic()
@@ -121,7 +146,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         # Q5's min-hits gate runs inside the verify kernel (one shuffle
         # on the pair key, no gate aggregation); the widest shuffle of
         # the pipeline runs on int64 ids, resolved back to strings after
-        v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True),
+        v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True,
+                                       n_images=n_images),
                        cfg, numeric_ids=True)
         return C.resolve_numeric_ids(v, images)
 
@@ -130,9 +156,11 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
 
     # ---- signature channels, fused ------------------------------------------
     fused_stats_box: list = []
+    fused_caches: list = []
 
     def compute_pairs() -> DataFrame:
-        fused, fused_stats = C.fused_candidate_pairs(signatures, images, cfg)
+        fused, fused_stats = C.fused_candidate_pairs(signatures, images, cfg,
+                                                     caches=fused_caches)
         fused_stats_box.append(fused_stats)
         lm = verified.select(F.lit("landmark").alias("channel"),
                              "id_a", "id_b")
@@ -155,6 +183,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             schema="stage string, partition_id int, input_count long, "
                    "signature_count long, band_count long, elapsed_ms long, "
                    "run_id string"))
+    for c in fused_caches:   # release candidate/count caches: repeated
+        c.unpersist()        # runs in one session must not leak memory
 
     # ---- clustering ------------------------------------------------------------
     clusters = timed("cluster", lambda: store.read_or_compute(

@@ -28,7 +28,8 @@ from panako_spark.config import PanakoConfig
 
 def pairs_from_keys_multi(keyed: DataFrame, cap: int,
                           group_col: str = "channel",
-                          key_col: str = "key", id_col: str = "image_id"
+                          key_col: str = "key", id_col: str = "image_id",
+                          caches: list | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """(channel, key, id) -> distinct pairs (channel, id_a < id_b) + stats.
 
@@ -40,12 +41,18 @@ def pairs_from_keys_multi(keyed: DataFrame, cap: int,
     per channel: (channel, n_keys, n_hot_keys,
     dropped_cross_pairs_estimate) — dropped pairs are reported, never
     silent (north_rule hot-band splitting).
+
+    Cached intermediates are appended to `caches` (if given) so the
+    caller can unpersist them once the returned frames are consumed —
+    repeated invocations in one session must not leak executor memory.
     """
     # counts is tiny (one row per key) and read twice: by the salted
     # re-join AND the stats aggregate — cache it so the explode+groupBy
     # shuffle runs once
     counts = (keyed.groupBy(group_col, key_col)
               .agg(F.count("*").alias("_n")).cache())
+    if caches is not None:
+        caches.append(counts)
     keyed2 = keyed.join(counts, [group_col, key_col])
     n_salt = F.ceil(F.col("_n") / cap).cast("int")
     salted = keyed2.withColumn(
@@ -73,36 +80,43 @@ def pairs_from_keys_multi(keyed: DataFrame, cap: int,
 
 
 def pairs_from_keys(keyed: DataFrame, cap: int,
-                    key_col: str = "key", id_col: str = "image_id"
+                    key_col: str = "key", id_col: str = "image_id",
+                    caches: list | None = None
                     ) -> tuple[DataFrame, DataFrame]:
     """Single-channel wrapper over pairs_from_keys_multi (kept for the
     per-channel API and tests); stats row drops the channel column."""
     tagged = keyed.withColumn("_ch", F.lit("only"))
     pairs, stats = pairs_from_keys_multi(tagged, cap, group_col="_ch",
-                                         key_col=key_col, id_col=id_col)
+                                         key_col=key_col, id_col=id_col,
+                                         caches=caches)
     return (pairs.select("id_a", "id_b"),
             stats.select("n_keys", "n_hot_keys",
                          "dropped_cross_pairs_estimate"))
 
 
 # --------------------------------------------------------------- landmark ---
-def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig) -> DataFrame:
-    """Drop stop-word hashes present in > hash_max_images images.
+def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig,
+                    n_images: int | None = None) -> DataFrame:
+    """Drop stop-word hashes present in > effective_hash_max_images images.
 
-    The golden matcher applies the identical rule (same config) so parity
-    is preserved; at web scale these hashes are pure noise amplifiers.
+    The golden matcher applies the identical rule (same config + corpus
+    size) so parity is preserved; at web scale these hashes are pure
+    noise amplifiers. The cap is corpus-size-aware (config.py) so large
+    real-world content clusters don't silently lose the landmark channel.
     """
-    if cfg.hash_max_images <= 0:
+    cap = cfg.effective_hash_max_images(n_images)
+    if cap <= 0:
         return prints
     hot = (prints.groupBy("hash")
            .agg(F.countDistinct("image_id").alias("_imgs"))
-           .where(F.col("_imgs") > cfg.hash_max_images)
+           .where(F.col("_imgs") > cap)
            .select("hash"))
     return prints.join(hot, "hash", "left_anti")
 
 
 def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
-                  numeric_ids: bool = False) -> DataFrame:
+                  numeric_ids: bool = False,
+                  n_images: int | None = None) -> DataFrame:
     """prints -> raw hit list per candidate pair (canonical id_a < id_b).
 
     The ±range probe relation |h_a - h_b| <= query_range is symmetric, so
@@ -119,7 +133,7 @@ def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
     (64-bit hashing collides at that cardinality); the pipeline only
     assumes ids are longs, not how they were minted.
     """
-    p = hot_hash_filter(prints, cfg)
+    p = hot_hash_filter(prints, cfg, n_images=n_images)
     if numeric_ids:
         p = p.withColumn("_iid", F.xxhash64("image_id"))
     else:
@@ -253,7 +267,8 @@ def _phash_band_keys(cfg: PanakoConfig):
 
 
 def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
-                          cfg: PanakoConfig) -> tuple[DataFrame, DataFrame]:
+                          cfg: PanakoConfig, caches: list | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
     """All five signature channels in ONE pairing dataflow.
 
     The per-channel functions below each build their own
@@ -283,10 +298,13 @@ def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
         .unionByName(signatures.select(
             "image_id", F.explode("substr_fps").alias("key"),
             ch("caption_substring").alias("channel"))))
-    cand, stats = pairs_from_keys_multi(keyed, cfg.band_pair_cap)
+    cand, stats = pairs_from_keys_multi(keyed, cfg.band_pair_cap,
+                                        caches=caches)
     # four per-channel branches read cand below — one materialization
     # (MEMORY_AND_DISK; the 10^12-scale equivalent is a checkpoint table)
     cand = cand.cache()
+    if caches is not None:
+        caches.append(cand)
 
     # Per-channel verification, each joining ONLY the columns it needs.
     # The bit channels (simhash/phash) dominate raw candidate volume —

@@ -39,7 +39,7 @@ from panako_spark.kernels.minhash import (
     band_keys, hash_shingles, minhash_signature_batch, token_shingles,
 )
 from panako_spark.kernels.simhash import simhash_band_keys, simhash_batch
-from panako_spark.kernels.suffix import fingerprints as substr_fingerprints
+from panako_spark.kernels.suffix import fingerprints_batch
 
 EXTRACT_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -87,7 +87,7 @@ def make_extract_fn(cfg: PanakoConfig):
             shingle_lists: list[np.ndarray] = []
             cap_hashes: list[int] = []
             cap_lens: list[int] = []
-            substrs: list[list[int]] = []
+            caps: list[str] = []
             for row in batch.itertuples(index=False):
                 err = None
                 psnr_ok = True
@@ -123,9 +123,10 @@ def make_extract_fn(cfg: PanakoConfig):
                     hash_shingles(token_shingles(cap, cfg.minhash_shingle)))
                 cap_hashes.append(_caption_hash64(cap))
                 cap_lens.append(len(cap))
-                substrs.append(
-                    substr_fingerprints(cap, cfg.substring_min_len)
-                    .astype(np.int64).tolist())
+                caps.append(cap)
+            # one vectorized hashing pass for the whole batch's captions
+            substrs = [fp.astype(np.int64).tolist() for fp in
+                       fingerprints_batch(caps, cfg.substring_min_len)]
             sigs = minhash_signature_batch(shingle_lists, cfg)
             sims = simhash_batch(shingle_lists)
             mh_bands = band_keys(sigs.view(np.uint64), cfg)

@@ -17,8 +17,11 @@ time and its GC pressure slowed every later stage in the same JVM):
     vectorized over segment lengths — no gate aggregation, no second
     shuffle, no join, and gated-out segments cost one comparison.
   * a pair's run can straddle Arrow batch boundaries within a partition;
-    the kernel carries the tail segment into the next batch. Partition
-    boundaries can't split a pair (hash-partitioned on the pair key).
+    the kernel processes each batch's complete runs immediately and
+    carries only the trailing run into the next batch — peak memory is
+    one batch + the largest pair run, never the whole partition.
+    Partition boundaries can't split a pair (hash-partitioned on the
+    pair key), and the explicit sortWithinPartitions pins contiguity.
   * the hit relation is symmetric (|h_a - h_b| <= range), so hits are
     stored once per canonical pair (id_a < id_b) and the kernel tries
     both query orientations — the union the reference's dedup driver
@@ -97,26 +100,41 @@ def make_verify_batches(cfg: PanakoConfig, numeric_ids: bool = False):
                              best.time_factor, best.freq_factor,
                              best.coverage, best.q_start, best.q_stop))
 
+    keys = ("id_a", "id_b", "a_t", "a_f", "b_t", "b_f")
+
+    def _run(cols: dict, lo: int, hi: int, rows: list) -> None:
+        _process(cols["id_a"][lo:hi], cols["id_b"][lo:hi],
+                 cols["a_t"][lo:hi].astype(np.int64, copy=False),
+                 cols["a_f"][lo:hi].astype(np.int64, copy=False),
+                 cols["b_t"][lo:hi].astype(np.int64, copy=False),
+                 cols["b_f"][lo:hi].astype(np.int64, copy=False), rows)
+
     def verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Buffer the whole partition as NumPy columns, process once: a
-        # pair's run never crosses a partition (hash-partitioned on the
-        # pair key), and per-batch pandas slicing/concat dominated stage
-        # time at 10^7-row volumes. Memory: 6 int columns per partition.
-        bufs: dict[str, list[np.ndarray]] = {
-            k: [] for k in ("id_a", "id_b", "a_t", "a_f", "b_t", "b_f")}
-        n_rows = 0
-        for batch in it:
-            for k in bufs:
-                bufs[k].append(batch[k].to_numpy())
-            n_rows += len(batch)
+        # Per-batch streaming with run carry: each Arrow batch is
+        # processed as NumPy columns immediately, except the trailing
+        # (id_a, id_b) run, which may continue in the next batch and is
+        # carried forward. Peak memory is ONE batch plus the largest
+        # single pair's hit run — not the whole partition — so a skewed
+        # 10^7-row partition can't OOM the Python worker. The partition
+        # is sorted on the pair key (run_verify), so runs are contiguous
+        # and never resume after being cut.
+        carry: dict[str, np.ndarray] | None = None
         rows: list = []
-        if n_rows:
-            cat = {k: np.concatenate(v) for k, v in bufs.items()}
-            _process(cat["id_a"], cat["id_b"],
-                     cat["a_t"].astype(np.int64, copy=False),
-                     cat["a_f"].astype(np.int64, copy=False),
-                     cat["b_t"].astype(np.int64, copy=False),
-                     cat["b_f"].astype(np.int64, copy=False), rows)
+        for batch in it:
+            cols = {k: batch[k].to_numpy() for k in keys}
+            if carry is not None and carry["id_a"].size:
+                cols = {k: np.concatenate([carry[k], cols[k]])
+                        for k in keys}
+            n = cols["id_a"].size
+            if n == 0:
+                continue
+            bounds = _segments(cols["id_a"], cols["id_b"])
+            cut = int(bounds[-2]) if bounds.size >= 2 else 0
+            carry = {k: v[cut:] for k, v in cols.items()}
+            if cut:
+                _run(cols, 0, cut, rows)
+        if carry is not None and carry["id_a"].size:
+            _run(carry, 0, carry["id_a"].size, rows)
         yield _emit(rows)
 
     return verify_batches
@@ -142,7 +160,13 @@ def run_verify(hits: DataFrame, cfg: PanakoConfig,
     gated = (hits.repartition(n, "id_a", "id_b")
              .withColumn("_n", F.count("*").over(w))
              .where(F.col("_n") >= cfg.min_unfiltered_hits)  # Q5, JVM-side
-             .drop("_n"))
+             .drop("_n")
+             # the kernel REQUIRES contiguous (id_a, id_b) runs; today the
+             # WindowExec's required child ordering provides that, but the
+             # contract must not depend on how the Window happens to plan.
+             # This sort is elided by Catalyst when the child ordering
+             # already satisfies it (asserted in test_plans).
+             .sortWithinPartitions("id_a", "id_b"))
     schema = verified_schema(T.LongType() if numeric_ids else T.StringType())
     return gated.mapInPandas(
         make_verify_batches(cfg, numeric_ids=numeric_ids), schema)

@@ -310,3 +310,86 @@ def test_verify_time_stretch_within_gate(cfg):
     res = verify.verify_pair(q_t, q_f, r_t, r_f, cfg)
     assert res is not None
     assert 1.05 < res.time_factor < 1.15
+
+
+def test_effective_hash_max_images(cfg):
+    """Corpus-size-aware stop-word cap: fixed floor for small corpora,
+    grows with n_images (ADVICE: content clusters > 16 are routine at
+    web scale)."""
+    assert cfg.effective_hash_max_images(None) == cfg.hash_max_images
+    assert cfg.effective_hash_max_images(1000) == cfg.hash_max_images
+    assert cfg.effective_hash_max_images(1_000_000) == int(
+        cfg.hash_max_images_frac * 1_000_000)
+    assert cfg.with_(hash_max_images=0).effective_hash_max_images(10**6) == 0
+
+
+def test_extraction_fingerprint_tracks_format_fields(cfg):
+    fp = cfg.extraction_fingerprint()
+    assert cfg.with_(min_unfiltered_hits=99).extraction_fingerprint() == fp, \
+        "match-gate fields don't change the stored format"
+    assert cfg.with_(log_freq=not cfg.log_freq).extraction_fingerprint() != fp
+    assert cfg.with_(minhash_seed=1).extraction_fingerprint() != fp
+
+
+def test_verify_kernel_run_carry(cfg):
+    """The mapInPandas kernel must produce identical verified pairs when
+    a pair's hit run straddles Arrow batch boundaries (per-batch carry,
+    bounded memory)."""
+    import numpy as np
+    import pandas as pd
+
+    from panako_spark.stages.verify import make_verify_batches
+
+    rows = []
+    for ia, ib in [(1, 2), (3, 4), (5, 6)]:
+        for t in range(15):
+            rows.append((ia, ib, t, 10 + (t % 3), t + 1, 10 + (t % 3)))
+    df = pd.DataFrame(rows, columns=["id_a", "id_b",
+                                     "a_t", "a_f", "b_t", "b_f"])
+    fn = make_verify_batches(cfg, numeric_ids=True)
+    whole = pd.concat(list(fn(iter([df])))).reset_index(drop=True)
+    assert len(whole) == 3  # perfectly aligned runs all verify
+    for size in (1, 4, 7, 16):
+        parts = [df.iloc[i:i + size] for i in range(0, len(df), size)]
+        fn2 = make_verify_batches(cfg, numeric_ids=True)
+        split = pd.concat(list(fn2(iter(parts)))).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            whole.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            split.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            check_dtype=False)
+
+
+def test_rolling_hashes_batch_matches_scalar():
+    """The batched (concat + slice) hashing path must emit exactly the
+    per-text hashes — boundary windows never leak across captions."""
+    import numpy as np
+
+    from panako_spark.kernels.suffix import (
+        rolling_hashes, rolling_hashes_batch,
+    )
+
+    texts = ["", "short", "x" * 23, "y" * 24,
+             "the quick brown fox jumps over the lazy dog",
+             "unicode éè€ caption with some length to it!"]
+    for win in (3, 24):
+        batch = rolling_hashes_batch(texts, win)
+        assert len(batch) == len(texts)
+        for t, b in zip(texts, batch):
+            assert np.array_equal(b, rolling_hashes(t, win)), (win, t)
+
+
+def test_rolling_hashes_known_answer():
+    """Pin the polynomial-hash definition: H = sum c[i]*B^(win-1-i) mod
+    2^61-1 — any refactor of the vectorized kernel must keep these
+    values (stored fingerprints depend on them)."""
+    import numpy as np
+
+    from panako_spark.kernels.suffix import _BASE, _MOD, rolling_hashes
+
+    text = "abcdef"
+    win = 3
+    c = text.encode()
+    B, M = int(_BASE), int(_MOD)
+    expect = [(c[i] * B * B + c[i + 1] * B + c[i + 2]) % M
+              for i in range(len(c) - win + 1)]
+    assert rolling_hashes(text, win).tolist() == expect

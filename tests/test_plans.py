@@ -105,3 +105,8 @@ def test_verify_stage_single_pair_exchange(spark, cfg):
     # pair-key repartition that Window/Sort/Filter all reuse)
     segment = tree.split("MapInPandas", 1)[1].split("SortMergeJoin", 1)[0]
     assert segment.count("Exchange") == 1, segment
+    # the kernel's contiguity contract: an explicit (id_a, id_b) sort
+    # feeds the python node (run_verify.sortWithinPartitions); Catalyst
+    # must satisfy it from the Window's own required ordering WITHOUT a
+    # second exchange (asserted above) but a Sort node must be present
+    assert "Sort" in segment, segment

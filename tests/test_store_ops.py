@@ -93,3 +93,33 @@ def test_same_images_pairwise(corpus, cfg):
     res2 = SO.same_images(other.bytes, (other.w, other.h, other.fmt),
                           a.bytes, (a.w, a.h, a.fmt), cfg)
     assert res2 is None or res2.score < 100
+
+
+def test_incremental_store_refuses_config_drift(spark, corpus, tmp_path, cfg):
+    """ADVICE fix: appending prints extracted under a different extractor
+    config (log_freq toggled -> every landmark hash moves) must raise,
+    not silently build a mixed-format store."""
+    store, _ = _fresh_store(spark, corpus[:6], tmp_path, cfg)
+    drifted = cfg.with_(log_freq=not cfg.log_freq)
+    more = spark.createDataFrame(rows_to_pandas(corpus))
+    with pytest.raises(ValueError, match="extractor"):
+        SO.store_incremental(spark, more, store, drifted)
+    # unchanged config still appends fine
+    out = SO.store_incremental(spark, more, store, cfg)
+    assert out["new_images"] == len(corpus) - 6
+
+
+def test_incremental_store_manifest_rows_accumulate(spark, corpus, tmp_path,
+                                                    cfg):
+    """Manifests carry accumulated counts from job metrics (no read-back
+    count jobs)."""
+    store, _ = _fresh_store(spark, corpus[:6], tmp_path, cfg)
+    m1 = store.manifest("signatures")
+    assert m1["rows"] == 6
+    SO.store_incremental(
+        spark, spark.createDataFrame(rows_to_pandas(corpus)), store, cfg)
+    m2 = store.manifest("signatures")
+    assert m2["rows"] == len(corpus)
+    # prints manifest matches the actual table row count
+    assert store.manifest("prints")["rows"] == \
+        store.read(spark, "prints").count()
