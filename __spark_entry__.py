@@ -226,16 +226,20 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS rep_doc
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
         """,
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
               WHERE len(string_split(text, ' ')) >= 3),
-            sh AS (
+            sh_all AS (
               SELECT DISTINCT doc_id,
                      unnest(list_transform(range(0, len(t) - 2),
                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
                        AS s
               FROM toks),
+            hot AS (SELECT s FROM sh_all GROUP BY s
+                    HAVING count(*) > {TXT.MAX_SHINGLE_DF}),
+            sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all
+                   ANTI JOIN hot ON sh_all.s = hot.s),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -97,23 +97,53 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_docs") > 1))
 
 
+MAX_SHINGLE_DF = 1000  # shared by the Spark operator AND the DuckDB oracle
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int = MAX_SHINGLE_DF,
+                        stats_out: list | None = None) -> DataFrame:
     """n-gram Jaccard near-dup pairs, exact (not MinHash): explode distinct
     3-gram shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
 
     This is the exact-answer sibling of the MinHash channel — at 100 TB
     you run MinHash; the exact version is the oracle-checkable operator.
+
+    Skew guard (the same hot-key discipline as candidates.pairs_from_keys):
+    a single boilerplate 3-gram shared by k docs makes k^2/2 self-join
+    rows, so shingles whose document frequency exceeds `max_shingle_df`
+    are dropped from BOTH the intersection and the per-doc set sizes —
+    i.e. Jaccard is computed over the non-ubiquitous shingle vocabulary,
+    a well-defined semantics the DuckDB oracle replicates with the same
+    cap (never a silent approximation). `stats_out`, when given, receives
+    a 1-row DataFrame (n_shingles, n_hot_shingles,
+    dropped_cross_pairs_estimate) the pipeline appends to lineage.
+    The default cap is far above the bench corpora's max df (25 at
+    sf0.1) and caps the per-shingle join fanout at ~0.5M rows at any
+    corpus size.
     """
     d = (_docs(spark, sf_dir)
          .select("doc_id", F.split("text", " ").alias("t"))
          .where(F.size("t") >= 3))
-    sh = (d.select(
+    sh_all = (d.select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(0, size(t) - 3), "
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).alias("s"))
         .distinct())
+    dfreq = sh_all.groupBy("s").agg(F.count("*").alias("_df"))
+    hot = dfreq.where(F.col("_df") > max_shingle_df).select("s", "_df")
+    if stats_out is not None:
+        stats_out.append(dfreq.agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("_df") > max_shingle_df, 1))
+            .alias("n_hot_shingles"),
+            F.coalesce(F.sum(F.when(
+                F.col("_df") > max_shingle_df,
+                (F.col("_df") * (F.col("_df") - 1) / 2).cast("long"))),
+                F.lit(0)).alias("dropped_cross_pairs_estimate")))
+    sh = sh_all.join(F.broadcast(hot.select("s")), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")

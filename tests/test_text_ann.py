@@ -1,0 +1,62 @@
+"""Text-analysis / ANN operator tests beyond the DuckDB oracle gate:
+tier equivalence for the exact near-dup operator, hot-shingle skew
+stats, and the LSH id-only pairing shape."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from panako_spark.functions import text as TXT
+from panako_spark.operators import ann as ANN
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cosine_near_dup_tiers_identical_pairs(spark):
+    """The blocked-GEMM tier must return exactly the same pair SET as the
+    expression-level exact tier (it is exact, not approximate); only the
+    last-ulp of the cos double may differ (summation order)."""
+    gemm = ANN.cosine_near_dup_pairs(spark, SF, exact_limit=10)
+    exact = ANN.cosine_near_dup_pairs(spark, SF, exact_limit=10**9)
+    g = {(r.id_a, r.id_b) for r in gemm.collect()}
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert g == e and len(g) > 0
+    # cos values agree to float64 noise
+    ge = {(r.id_a, r.id_b): r.cos for r in gemm.collect()}
+    for r in exact.collect():
+        assert abs(ge[(r.id_a, r.id_b)] - r.cos) < 1e-9
+
+
+def test_ngram_jaccard_hot_shingle_cap_reported(spark):
+    """A low cap must (a) drop ubiquitous shingles from BOTH the
+    intersection and the sizes, and (b) report the dropped volume —
+    never silently."""
+    stats_box: list = []
+    capped = TXT.ngram_jaccard_pairs(spark, SF, max_shingle_df=2,
+                                     stats_out=stats_box)
+    capped.count()
+    row = stats_box[0].collect()[0]
+    assert row["n_hot_shingles"] > 0
+    assert row["dropped_cross_pairs_estimate"] > 0
+    assert row["n_shingles"] > row["n_hot_shingles"]
+
+
+def test_ngram_jaccard_default_cap_is_noop_at_test_scale(spark):
+    base = TXT.ngram_jaccard_pairs(spark, SF, max_shingle_df=10**9)
+    capped = TXT.ngram_jaccard_pairs(spark, SF)
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, capped.collect()))
+
+
+def test_lsh_neighbors_pairs_before_embedding_join(spark):
+    """Scale shape: the embedding array must not ride the band explode —
+    the plan's exploded/banded side carries only (vec_id, key); unit
+    vectors join the candidate set afterwards."""
+    df = ANN.lsh_bucketed_neighbors(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the Generate (explode) node must project no unit-vector column
+    gens = [seg for seg in plan.split("\n") if "Generate" in seg]
+    assert gens, plan
+    for g in gens:
+        assert "ue" not in g, g
+    df.count()  # and it still runs
