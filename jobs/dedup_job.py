@@ -19,8 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local `python jobs/dedup_job.py` runs: put the repo root on sys.path
+# (under spark-submit --py-files the zip provides the package instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -33,6 +38,16 @@ def main() -> None:
     ap.add_argument("--output", help="where to write clusters (default: "
                                      "inside --store)")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides",
+                    help="override any PanakoConfig field (repeatable), "
+                         "e.g. --set query_range=3 --set "
+                         "fallback_to_hist=true — the reference's "
+                         "KEY=value CLI surface (Panako.java:247-268)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "parquet", "iceberg"],
+                    help="checkpoint backend (iceberg requires a "
+                         "configured spark.sql.catalog; auto probes)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,9 +88,12 @@ def main() -> None:
     else:
         ap.error("one of --images / --synthetic is required")
 
-    store = CheckpointStore(args.store)
+    from panako_spark.config import config_with_overrides
+
+    cfg = config_with_overrides(args.overrides, PanakoConfig())
+    store = CheckpointStore(args.store, backend=args.backend)
     t0 = time.monotonic()
-    res = run_pipeline(spark, images, store, PanakoConfig())
+    res = run_pipeline(spark, images, store, cfg)
     n_clusters = res.clusters.count()
     if args.output:
         res.clusters.write.mode("overwrite").parquet(args.output)

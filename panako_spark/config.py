@@ -201,3 +201,48 @@ class PanakoConfig:
 
 
 DEFAULT_CONFIG = PanakoConfig()
+
+
+def parse_overrides(pairs: list[str] | None) -> dict:
+    """`KEY=value` strings -> typed kwargs for PanakoConfig.with_.
+
+    The reference accepts every config key as a KEY=value CLI override
+    (Panako.java:247-268); this is the same surface for spark-submit:
+
+        spark-submit ... jobs/dedup_job.py --set query_range=3 \\
+            --set fallback_to_hist=true --set factor_max=1.3
+
+    Types are coerced from the dataclass defaults (bool accepts
+    true/false/1/0); unknown keys fail loudly with the valid-key list.
+    """
+    out: dict = {}
+    for item in pairs or []:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not KEY=value")
+        key, _, raw = item.partition("=")
+        key = key.strip()
+        if not hasattr(DEFAULT_CONFIG, key) or key.startswith("_"):
+            valid = ", ".join(sorted(
+                f.name for f in __import__("dataclasses")
+                .fields(PanakoConfig)))
+            raise ValueError(f"unknown config key {key!r}; valid: {valid}")
+        cur = getattr(DEFAULT_CONFIG, key)
+        raw = raw.strip()
+        if isinstance(cur, bool):
+            if raw.lower() not in ("true", "false", "1", "0"):
+                raise ValueError(f"{key}: boolean must be true/false/1/0, "
+                                 f"got {raw!r}")
+            val: object = raw.lower() in ("true", "1")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        else:
+            val = raw
+        out[key] = val
+    return out
+
+
+def config_with_overrides(pairs: list[str] | None,
+                          base: PanakoConfig | None = None) -> PanakoConfig:
+    return (base or DEFAULT_CONFIG).with_(**parse_overrides(pairs))

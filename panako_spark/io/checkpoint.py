@@ -6,23 +6,41 @@ prints are written to a .tdb file and re-read instead of re-extracted
 We generalize that to *per-stage* checkpoints so a 10^12-row run resumes
 mid-pipeline (north_rule requirement).
 
-Backend: Iceberg when the runtime jar is on the classpath (`writeTo(...)
-.append()`); in this offline sandbox, a parquet directory + atomic JSON
-manifest gives identical semantics:
+Two selectable backends with identical resume semantics:
+
+  * iceberg — when a Spark catalog backed by
+    `org.apache.iceberg.spark.SparkCatalog` is configured on the session
+    AND the Iceberg runtime class is loadable, stage outputs go through
+    real Iceberg table commits: `df.writeTo(cat.ns.table)
+    .using("iceberg").createOrReplace()` for stage overwrites and
+    `.append()` for lineage. The atomic visibility of a completed stage
+    is Iceberg's own snapshot commit; the JSON manifest is still written
+    (it carries run_id/rows/config_fp and keeps `is_complete` uniform
+    across backends).
+  * parquet (fallback, and the only one testable in this offline
+    sandbox — no Iceberg jar is resolvable): a parquet directory +
+    atomic JSON manifest:
 
     <root>/<table>/              parquet files
     <root>/_manifests/<table>.json   {"complete": true, rows, run_id, ...}
 
+`backend="auto"` (default) probes for the Iceberg catalog on first
+Spark-facing call and falls back to parquet; `backend="iceberg"` raises
+if the catalog is absent (never a silent downgrade);
+`backend="parquet"` forces the fallback.
+
 A stage is "done" iff its manifest says complete — a killed run leaves no
 manifest, so the next run recomputes that stage only. Lineage rows
 (stage, partition_id, input_count, signature_count, band_count,
-elapsed_ms, run_id) append to <root>/lineage/.
+elapsed_ms, run_id) append to <root>/lineage/ (or the lineage Iceberg
+table).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -31,12 +49,65 @@ from pyspark.sql import DataFrame, SparkSession
 LINEAGE_COLUMNS = ["stage", "partition_id", "input_count",
                    "signature_count", "band_count", "elapsed_ms", "run_id"]
 
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True iff `catalog` is a configured Spark catalog whose
+    implementation class (the public Iceberg-Spark runtime entry point)
+    is loadable in this JVM."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    if not impl:
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS)
+        return True
+    except Exception:
+        return False
+
 
 class CheckpointStore:
-    def __init__(self, root: str, run_id: str | None = None):
+    def __init__(self, root: str, run_id: str | None = None,
+                 backend: str = "auto", iceberg_catalog: str = "panako",
+                 iceberg_namespace: str | None = None):
+        if backend not in ("auto", "parquet", "iceberg"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.backend = backend
+        self.iceberg_catalog = iceberg_catalog
+        # one namespace per store root so two stores never collide
+        self.iceberg_namespace = iceberg_namespace or (
+            "ns_" + re.sub(r"[^A-Za-z0-9_]", "_", root).strip("_")[-48:])
+        self._use_iceberg: bool | None = (
+            False if backend == "parquet" else None)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    # ---- backend selection -------------------------------------------------
+    def _iceberg(self, spark: SparkSession) -> bool:
+        """Resolve the backend once per store (probing needs a session)."""
+        if self._use_iceberg is None:
+            ok = iceberg_available(spark, self.iceberg_catalog)
+            if self.backend == "iceberg" and not ok:
+                raise RuntimeError(
+                    f"backend='iceberg' requested but catalog "
+                    f"'{self.iceberg_catalog}' is not configured or the "
+                    f"Iceberg runtime ({ICEBERG_CATALOG_CLASS}) is not on "
+                    "the classpath; add the iceberg-spark-runtime jar via "
+                    "spark.jars.packages and set spark.sql.catalog."
+                    f"{self.iceberg_catalog}")
+            self._use_iceberg = ok
+            if ok:
+                spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
+                          f"{self.iceberg_catalog}.{self.iceberg_namespace}")
+        return self._use_iceberg
+
+    def qualified_name(self, table: str) -> str:
+        return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{table}"
 
     # ---- manifests ---------------------------------------------------------
     def _manifest_path(self, table: str) -> str:
@@ -107,17 +178,26 @@ class CheckpointStore:
         config_fp stamps the extractor-config fingerprint for tables
         whose row format depends on it (prints/signatures).
         """
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(table))
+        if self._iceberg(df.sparkSession):
+            wt = df.writeTo(self.qualified_name(table)).using("iceberg")
+            if partition_by:
+                from pyspark.sql.functions import col
+                wt = wt.partitionedBy(*[col(c) for c in partition_by])
+            wt.createOrReplace()   # one atomic Iceberg snapshot commit
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(table))
         rows = -1
         if count_rows:
-            rows = df.sparkSession.read.parquet(self.path(table)).count()
+            rows = self.read(df.sparkSession, table).count()
         self._mark_complete(table, rows, config_fp=config_fp)
         return rows
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if self._iceberg(spark):
+            return spark.table(self.qualified_name(table))
         return spark.read.parquet(self.path(table))
 
     def read_or_compute(self, spark: SparkSession, table: str,
@@ -135,8 +215,19 @@ class CheckpointStore:
     # ---- lineage -----------------------------------------------------------
     def append_lineage(self, df: DataFrame) -> None:
         """Append lineage rows (schema LINEAGE_COLUMNS)."""
-        df.select(*LINEAGE_COLUMNS).write.mode("append").parquet(
-            os.path.join(self.root, "lineage"))
+        out = df.select(*LINEAGE_COLUMNS)
+        if self._iceberg(df.sparkSession):
+            name = self.qualified_name("lineage")
+            try:
+                out.writeTo(name).append()
+            except Exception:
+                # first append creates the table (one extra commit, once)
+                out.writeTo(name).using("iceberg").create()
+        else:
+            out.write.mode("append").parquet(
+                os.path.join(self.root, "lineage"))
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
+        if self._iceberg(spark):
+            return spark.table(self.qualified_name("lineage"))
         return spark.read.parquet(os.path.join(self.root, "lineage"))

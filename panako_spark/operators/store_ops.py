@@ -36,6 +36,13 @@ def delete_resources(spark: SparkSession, store: CheckpointStore,
     for table in ("prints", "signatures"):
         if not store.is_complete(table):
             continue
+        if store._iceberg(spark):
+            # real row-level delete: one Iceberg DELETE commit per table
+            ids_df.createOrReplaceTempView("_panako_delete_ids")
+            spark.sql(f"DELETE FROM {store.qualified_name(table)} WHERE "
+                      "image_id IN (SELECT image_id FROM _panako_delete_ids)")
+            out[table] = -1
+            continue
         df = store.read(spark, table)
         kept = df.join(F.broadcast(ids_df), "image_id", "left_anti")
         # write to a sibling then swap: never destroy the only copy mid-job
@@ -50,12 +57,19 @@ def delete_resources(spark: SparkSession, store: CheckpointStore,
     return out
 
 
-def clear(store: CheckpointStore, tables: list[str] | None = None) -> None:
-    """S8: drop checkpoint tables (whole-store clear when tables=None)."""
+def clear(store: CheckpointStore, tables: list[str] | None = None,
+          spark: SparkSession | None = None) -> None:
+    """S8: drop checkpoint tables (whole-store clear when tables=None).
+    Pass `spark` when the store may be Iceberg-backed (DROP TABLE needs a
+    session); the parquet fallback is pure filesystem."""
     names = tables or ["extracted", "prints", "signatures", "verified",
                        "dup_pairs", "clusters"]
     for t in names:
-        shutil.rmtree(store.path(t), ignore_errors=True)
+        if spark is not None and store._iceberg(spark):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {store.qualified_name(t)}")
+        else:
+            shutil.rmtree(store.path(t), ignore_errors=True)
         store.invalidate(t)
 
 
@@ -94,9 +108,18 @@ def store_incremental(spark: SparkSession, images: DataFrame,
         n_new, n_new_prints = int(m["n"]), int(m["np"])
         if n_new == 0:
             return {"new_images": 0}
-        mode = "append" if have_sig else "overwrite"
-        new_prints.write.mode(mode).parquet(store.path("prints"))
-        new_sigs.write.mode(mode).parquet(store.path("signatures"))
+        pairs = ((new_prints, "prints"), (new_sigs, "signatures"))
+        if store._iceberg(spark):
+            for df_, t in pairs:
+                name = store.qualified_name(t)
+                if have_sig:
+                    df_.writeTo(name).append()   # atomic Iceberg commit
+                else:
+                    df_.writeTo(name).using("iceberg").createOrReplace()
+        else:
+            mode = "append" if have_sig else "overwrite"
+            for df_, t in pairs:
+                df_.write.mode(mode).parquet(store.path(t))
         # manifest rows accumulate from the job's own metrics
         prev_sig = store.manifest("signatures").get("rows", -1) or -1
         prev_pr = store.manifest("prints").get("rows", -1) or -1

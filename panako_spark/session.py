@@ -1,8 +1,11 @@
 """SparkSession factory with the pipeline's execution settings.
 
 Designed for a 1000-executor cluster (AQE, skew join, adaptive coalesce);
-tested on local[N]. Iceberg extensions are attached when the runtime jar is
-resolvable (it is not in this sandbox — SURVEY.md §7), otherwise the
+tested on local[N]. Pass `iceberg_warehouse` to attach an Iceberg
+hadoop-catalog named `panako` (requires the iceberg-spark-runtime jar —
+resolvable only with network/a populated ivy cache, so it is an explicit
+opt-in, never probed silently); CheckpointStore(backend="auto") then
+commits stages through real Iceberg snapshots. Without it, the
 parquet-dir checkpoint fallback in io/checkpoint.py provides the same
 resume semantics.
 """
@@ -13,14 +16,29 @@ import os
 
 from pyspark.sql import SparkSession
 
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:1.6.1"
+
 
 def get_spark(app_name: str = "panako-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              iceberg_warehouse: str | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
+    if iceberg_warehouse is not None:
+        extra_conf = dict(extra_conf or {})
+        extra_conf.setdefault("spark.jars.packages", ICEBERG_PACKAGE)
+        extra_conf.setdefault(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions")
+        extra_conf.setdefault("spark.sql.catalog.panako",
+                              "org.apache.iceberg.spark.SparkCatalog")
+        extra_conf.setdefault("spark.sql.catalog.panako.type", "hadoop")
+        extra_conf.setdefault("spark.sql.catalog.panako.warehouse",
+                              iceberg_warehouse)
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -393,3 +393,26 @@ def test_rolling_hashes_known_answer():
     expect = [(c[i] * B * B + c[i + 1] * B + c[i + 2]) % M
               for i in range(len(c) - win + 1)]
     assert rolling_hashes(text, win).tolist() == expect
+
+
+def test_config_overrides_round_trip():
+    """spark-submit KEY=value override surface: typed coercion, loud
+    failure on unknown keys / bad booleans."""
+    import pytest
+
+    from panako_spark.config import PanakoConfig, config_with_overrides
+
+    cfg = config_with_overrides(
+        ["query_range=3", "factor_max=1.3", "fallback_to_hist=true",
+         "minhash_seed=0"])
+    assert cfg.query_range == 3 and isinstance(cfg.query_range, int)
+    assert cfg.factor_max == 1.3
+    assert cfg.fallback_to_hist is True
+    assert cfg.minhash_seed == 0
+    assert config_with_overrides(None) == PanakoConfig()
+    with pytest.raises(ValueError, match="unknown config key"):
+        config_with_overrides(["not_a_key=1"])
+    with pytest.raises(ValueError, match="boolean"):
+        config_with_overrides(["fallback_to_hist=maybe"])
+    with pytest.raises(ValueError, match="KEY=value"):
+        config_with_overrides(["query_range"])

@@ -133,3 +133,34 @@ def test_lineage_append_accumulates(spark, tmp_path):
     store.append_lineage(ldf)
     store.append_lineage(ldf)
     assert store.read_lineage(spark).count() == 2
+
+
+# --------------------------------------------------------- backend select ---
+def test_backend_selection_auto_falls_back_to_parquet(spark, tmp_path):
+    """No Iceberg catalog is configured in this sandbox: auto must
+    resolve to the parquet fallback and behave identically."""
+    store = CheckpointStore(str(tmp_path), backend="auto")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    store.write(df, "t")
+    assert store._use_iceberg is False
+    assert store.read(spark, "t").count() == 5
+
+
+def test_backend_selection_iceberg_refuses_silent_downgrade(spark, tmp_path):
+    """backend='iceberg' with no catalog must raise, never silently
+    write parquet."""
+    store = CheckpointStore(str(tmp_path), backend="iceberg")
+    df = spark.range(3).withColumnRenamed("id", "x")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        store.write(df, "t")
+
+
+def test_backend_selection_validates_name(tmp_path):
+    with pytest.raises(ValueError):
+        CheckpointStore(str(tmp_path), backend="deltalake")
+
+
+def test_iceberg_available_probe(spark):
+    from panako_spark.io.checkpoint import iceberg_available
+
+    assert iceberg_available(spark, "panako") is False  # not configured
