@@ -56,13 +56,26 @@ class PanakoConfig:
     max_peaks_per_image: int = 256   # reference caps event points per frame
                                      # (OlafEventPointProcessor.java:316-324)
 
-    # ---- triplet landmark packing (E6-E7) ----------------------------------
-    # Verbatim from Key.java:296-310 (PANAKO_FP_*).
+    # ---- triplet landmark packing (E6-E7 / E8) ------------------------------
+    # Verbatim from Key.java:296-310 (PANAKO_FP_*); the same bounds are
+    # Olaf's defaults (Key.java:242-257 OLAF_FP_*).
     min_time_distance: int = 2    # tDiff in [2,33]
     max_time_distance: int = 33
     min_freq_distance: int = 1    # |fDiff| in [1,128]
     max_freq_distance: int = 128
     max_prints_per_image: int = 4096
+    # hash strategy (the reference's strategy switch, Key.java:116):
+    #   "panako" — scale-invariant ratio/ordering hash (E7,
+    #              PanakoFingerprint.java:231-273): survives crop/rescale.
+    #   "olaf"   — rigid absolute-delta hash (E8,
+    #              OlafFingerprint.java:154-196): cheaper and more
+    #              noise-robust when no geometric change is expected;
+    #              the reference's DEFAULT strategy.
+    strategy: str = "panako"
+    # Olaf packs 2 or 3 event points per fingerprint (OLAF_EPS_PER_FP,
+    # Key.java:227, default 3; 2 for small/noisy indexes — the 2-point
+    # form stores (e1, e2, e2), OlafEventPointProcessor.java:309).
+    olaf_eps_per_fp: int = 3
 
     # ---- near-hash probe (Q1) ----------------------------------------------
     query_range: int = 2          # Key.java:354 PANAKO_QUERY_RANGE
@@ -146,6 +159,15 @@ class PanakoConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 256
 
+    def __post_init__(self):
+        if self.strategy not in ("panako", "olaf"):
+            raise ValueError(
+                f"strategy must be 'panako' or 'olaf', got "
+                f"{self.strategy!r}")
+        if self.olaf_eps_per_fp not in (2, 3):
+            raise ValueError("olaf_eps_per_fp must be 2 or 3 "
+                             "(Key.java:227)")
+
     def with_(self, **kw) -> "PanakoConfig":
         return replace(self, **kw)
 
@@ -176,6 +198,7 @@ class PanakoConfig:
             "min_peak_magnitude", "max_peaks_per_image",
             "min_time_distance", "max_time_distance", "min_freq_distance",
             "max_freq_distance", "max_prints_per_image",
+            "strategy", "olaf_eps_per_fp",
             "minhash_perms", "minhash_bands", "minhash_shingle",
             "minhash_seed", "simhash_bits", "simhash_bands",
             "phash_bands", "substring_min_len",

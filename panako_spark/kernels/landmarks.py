@@ -111,6 +111,54 @@ def pack_hashes(
     return h
 
 
+def pack_hashes_olaf(
+    t1, f1, m1, t2, f2, m2, t3, f3, m3
+) -> np.ndarray:
+    """E8: the rigid (translation-only) hash layout — Olaf, the
+    reference's default strategy (OlafFingerprint.java:154-196).
+
+    Fields (low to high bit):
+        [6b]  t3 - t1 (absolute span, NOT a ratio)
+        [1b]x6  f1>f2, f2>f3, f3>f1, m1>m2, m2>m3, m3>m1
+        [1b]  (t2-t1) > (t3-t2)
+        [1b]  |f2-f1| > |f3-f2|
+        [8b]  f1 >> 1
+        [6b]  |f2-f1| >> 2
+        [6b]  |f3-f2| >> 2
+
+    Absolute time/frequency deltas make the hash cheaper and more
+    selective than the Panako ratio hash when the content undergoes no
+    geometric change (pure noise/re-encode); it does NOT survive
+    crop/rescale — that is what the Panako layout's ratios buy. Shifts
+    are kept verbatim from the reference (its 512-bin field fills the
+    8/6-bit fields; our 128-bin field underfills them, which only makes
+    the hash more exact).
+    """
+    t1 = t1.astype(np.int64); t2 = t2.astype(np.int64); t3 = t3.astype(np.int64)
+    f1 = f1.astype(np.int64); f2 = f2.astype(np.int64); f3 = f3.astype(np.int64)
+    df21 = np.abs(f2 - f1)
+    df32 = np.abs(f3 - f2)
+    h = (t3 - t1) & 0x3F
+    for shift, bit in ((6, f1 > f2), (7, f2 > f3), (8, f3 > f1),
+                       (9, m1 > m2), (10, m2 > m3), (11, m3 > m1),
+                       (12, (t2 - t1) > (t3 - t2)), (13, df21 > df32)):
+        h = h | (bit.astype(np.int64) << shift)
+    h = h | (((f1 >> 1) & 0xFF) << 14)
+    h = h | (((df21 >> 2) & 0x3F) << 22)
+    h = h | (((df32 >> 2) & 0x3F) << 28)
+    return h
+
+
+def enumerate_pairs(t: np.ndarray, f: np.ndarray, cfg: PanakoConfig):
+    """(i, j) index arrays of valid point PAIRS (Olaf's 2-point form,
+    OlafEventPointProcessor.packEventPointsIntoFingerprintsTwo)."""
+    if t.size < 2:
+        z = np.zeros(0, np.int64)
+        return z, z
+    pi, pj = np.nonzero(_valid_pairs(t, f, cfg))
+    return pi.astype(np.int64), pj.astype(np.int64)
+
+
 def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
               cfg: PanakoConfig):
     """Peaks -> prints (hash:int64, t1:int32, f1:int32), deduped + capped.
@@ -118,12 +166,20 @@ def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
     Dedup mirrors fingerprint equality "same hash and close t1"
     (PanakoFingerprint.java:280-295) tightened to exact (hash, t1, f1)
     row identity — duplicate KV rows carry no extra information.
+
+    cfg.strategy selects the hash layout: "panako" (scale-invariant
+    E7) or "olaf" (rigid E8, with cfg.olaf_eps_per_fp = 2 or 3).
     """
-    i, j, k = enumerate_triplets(t, f, cfg)
+    if cfg.strategy == "olaf" and cfg.olaf_eps_per_fp == 2:
+        i, j = enumerate_pairs(t, f, cfg)
+        k = j   # the reference stores (e1, e2, e2) in 2-point mode
+    else:
+        i, j, k = enumerate_triplets(t, f, cfg)
     if i.size == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int32),
                 np.zeros(0, np.int32))
-    h = pack_hashes(t[i], f[i], m[i], t[j], f[j], m[j], t[k], f[k], m[k])
+    packer = pack_hashes_olaf if cfg.strategy == "olaf" else pack_hashes
+    h = packer(t[i], f[i], m[i], t[j], f[j], m[j], t[k], f[k], m[k])
     t1 = t[i].astype(np.int32)
     f1 = f[i].astype(np.int32)
     rows = np.stack([h, t1.astype(np.int64), f1.astype(np.int64)], axis=1)

@@ -138,3 +138,24 @@ def test_lineage_written(pipeline_result, spark):
     cols = set(lin.columns)
     assert {"stage", "partition_id", "input_count", "signature_count",
             "band_count", "elapsed_ms", "run_id"} <= cols
+
+
+def test_olaf_strategy_spark_golden_parity(spark, cfg, tmp_path):
+    """E8: with strategy='olaf' (the reference's default rigid hash) the
+    Spark landmark channel recovers the golden matcher's pair set at the
+    same config — the same parity criterion as the Panako strategy."""
+    ocfg = cfg.with_(strategy="olaf")
+    rows, _ = synth.generate_corpus(12, dup_fraction=0.5, seed=77)
+    gm = GoldenMatcher(ocfg)
+    for r in rows:
+        gm.store_image(r.image_id, to_gray(r.pixels))
+    golden_pairs = gm.dedup_pairs()
+
+    images = spark.createDataFrame(rows_to_pandas(rows))
+    store = CheckpointStore(str(tmp_path))
+    res = run_pipeline(spark, images, store, ocfg)
+    spark_landmark = {(r["id_a"], r["id_b"])
+                      for r in res.dup_pairs
+                      .where("channel = 'landmark'").collect()}
+    missing = golden_pairs - spark_landmark
+    assert len(missing) / max(1, len(golden_pairs)) <= 0.01, missing
