@@ -37,20 +37,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-SQL showcase: the full image+caption dedup pipeline on a tiny
-    deterministic synthetic corpus (rows-only check). sf_dir is unused —
-    the corpus is generated, per FIXTURES.md."""
+    deterministic synthetic corpus. sf_dir is unused — the corpus is
+    generated, per FIXTURES.md.
+
+    The driver's check is rows-only, so the REAL gate runs inside the
+    query: the single-node golden matcher (reference lifecycle
+    semantics) processes the same corpus and the query RAISES unless the
+    pipeline recovers every golden landmark pair and the cluster labels
+    equal the union-find golden — a failed parity turns into a driver
+    error, not a silently-green row count."""
     import tempfile
 
     from panako_spark.config import PanakoConfig
     from panako_spark.data.synth import generate_corpus, rows_to_pandas
     from panako_spark.io.checkpoint import CheckpointStore
+    from panako_spark.kernels.codec import to_gray
+    from panako_spark.kernels.matcher import (
+        GoldenMatcher, caption_pairs_golden, connected_components_golden,
+        phash_pairs_golden,
+    )
     from panako_spark.pipeline import run_pipeline
 
+    cfg = PanakoConfig()
     rows, _ = generate_corpus(10, dup_fraction=0.5, seed=7)
     images = spark.createDataFrame(rows_to_pandas(rows))
     store = CheckpointStore(tempfile.mkdtemp(prefix="panako_smoke_"))
-    res = run_pipeline(spark, images, store, PanakoConfig())
+    res = run_pipeline(spark, images, store, cfg)
+
+    gm = GoldenMatcher(cfg)
+    for r in rows:
+        gm.store_image(r.image_id, to_gray(r.pixels))
+    golden_union = set(gm.dedup_pairs())
+    for p in caption_pairs_golden(
+            {r.image_id: r.caption for r in rows}, cfg).values():
+        golden_union |= p
+    golden_union |= phash_pairs_golden(
+        {r.image_id: r.phash for r in rows}, cfg)
+    got = {(r["id_a"], r["id_b"]) for r in
+           res.dup_pairs.select("id_a", "id_b").distinct().collect()}
+    missing = golden_union - got
+    assert not missing, f"pipeline/golden parity failure: {missing}"
+    labels = {r["image_id"]: r["cluster_id"]
+              for r in res.clusters.collect()}
+    golden_labels = connected_components_golden(
+        got, [r.image_id for r in rows])
+    assert labels == golden_labels, "cluster labels diverge from golden"
     return res.dup_pairs
+
+
+def _minhash_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panako_spark.operators.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(spark, sf_dir, verify="exact")
+
+
+def _simhash_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panako_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(spark, sf_dir, verify="exact")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -78,14 +122,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search / embedding dedup ---
         "embedding_topk": ANN.cosine_topk_bruteforce,
         "embedding_near_dup": ANN.cosine_near_dup_pairs,
-        "embedding_lsh_neighbors": ANN.lsh_bucketed_neighbors,  # rows-only
-        "embedding_ivf_topk": ANN.ivf_topk,                     # rows-only
-        # --- signature operators (non-SQL; rows-only checks) ---
-        "minhash_dup_pairs_docs": DD.minhash_dup_pairs,
-        "simhash_dup_pairs_docs": DD.simhash_dup_pairs,
-        # --- full image pipeline smoke (non-SQL; rows-only) ---
+        "embedding_lsh_neighbors": ANN.lsh_bucketed_neighbors,
+        "embedding_ivf_topk": ANN.ivf_topk,
+        # --- signature operators: LSH-band candidates + exact verify ---
+        # (candidates from the signature bands — the mechanism under
+        # test — output filtered on the exact shingle Jaccard the oracle
+        # recomputes; match <=> the banding achieves full recall)
+        "minhash_dup_pairs_docs": _minhash_docs_exact,
+        "simhash_dup_pairs_docs": _simhash_docs_exact,
+        # --- full image pipeline (rows-only + IN-QUERY golden parity
+        #     assertions: a parity failure raises -> driver error) ---
         "image_dedup_pipeline": _image_dedup_smoke,
     }
+
+
+def _exact_jaccard_oracle(threshold: float = 0.5) -> str:
+    """Exact token-3-gram Jaccard pairs over documents (the verification
+    half of the exact-verified LSH queries)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(0, len(t) - 2),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   AS s
+          FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               inter / (na.n + nb.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter / (na.n + nb.n - inter) >= {threshold}
+    """
+
+
+def _lsh_neighbors_oracle(n_bits: int = 16, bands: int = 4,
+                          threshold: float = 0.4, dim: int = 64) -> str:
+    """Full DuckDB replica of lsh_bucketed_neighbors: the deterministic
+    hyperplanes are emitted as SQL literals, sign bits / band keys /
+    bucket join / exact-cosine verify all recomputed — list_dot_product
+    sums in the same order as Spark's zip_with+aggregate fold, so every
+    double (and therefore every sign bit) matches bit-exactly."""
+    from panako_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits)
+    lits = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in planes)
+    bpb = n_bits // bands
+    band_exprs = ", ".join(
+        f"'b{b}:' || " + " || ".join(
+            f"CAST(bits[{b * bpb + i + 1}] AS INT)" for i in range(bpb))
+        for b in range(bands))
+    return f"""
+        WITH sig AS (
+          SELECT vec_id,
+                 list_transform([{lits}]::DOUBLE[][],
+                   p -> list_dot_product(embedding::DOUBLE[], p) > 0.0)
+                   AS bits
+          FROM embeddings),
+        keyed AS (SELECT vec_id, unnest([{band_exprs}]) AS key FROM sig),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keyed a JOIN keyed b
+            ON a.key = b.key AND a.vec_id < b.vec_id),
+        u AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   v -> v / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])))
+                   AS ue
+          FROM embeddings)
+        SELECT id_a, id_b, list_dot_product(ua.ue, ub.ue) AS cos
+        FROM cand
+        JOIN u ua ON ua.vec_id = id_a
+        JOIN u ub ON ub.vec_id = id_b
+        WHERE list_dot_product(ua.ue, ub.ue) >= {threshold}
+    """
+
+
+def _ivf_topk_oracle(n_cells: int = 16, n_probe: int = 8,
+                     n_queries: int = 10, k: int = 5, dim: int = 64) -> str:
+    """Full DuckDB replica of ivf_topk: literal centroids, argmax cell
+    assignment, top-n_probe probe cells via the same struct-sort
+    tie-break (score desc, cell asc), exact re-rank within probed
+    cells."""
+    from panako_spark.operators.ann import _hyperplanes
+
+    cents = _hyperplanes(dim, n_cells, seed=0xCE77)
+    lits = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in cents)
+    return f"""
+        WITH u AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                   v -> v / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])))
+                   AS ue
+          FROM embeddings),
+        scored AS (
+          SELECT vec_id, ue,
+                 list_transform([{lits}]::DOUBLE[][],
+                   c -> list_dot_product(ue, c)) AS scores
+          FROM u),
+        corpus AS (
+          SELECT vec_id, ue,
+                 list_position(scores, list_max(scores)) - 1 AS cell
+          FROM scored),
+        probes AS (
+          SELECT vec_id AS query_id, ue AS qe,
+                 unnest(list_transform(list_slice(list_sort(
+                   list_transform(scores,
+                                  (s, i) -> {{'s': -s, 'i': i - 1}})),
+                   1, {n_probe}), x -> x.i)) AS cell
+          FROM scored WHERE vec_id < {n_queries}),
+        cand AS (
+          SELECT DISTINCT p.query_id, p.qe, c.vec_id AS neighbor_id, c.ue
+          FROM probes p JOIN corpus c USING (cell)
+          WHERE p.query_id != c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qe, ue) DESC,
+                            neighbor_id ASC) AS rnk
+          FROM cand)
+        SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -276,6 +447,13 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         """,
+        # exact-verified LSH dedup: oracle = exact Jaccard >= threshold;
+        # the Spark side only matches if the signature banding finds
+        # every true pair (full-recall check, deterministic seeds)
+        "minhash_dup_pairs_docs": _exact_jaccard_oracle(0.5),
+        "simhash_dup_pairs_docs": _exact_jaccard_oracle(0.5),
+        "embedding_lsh_neighbors": _lsh_neighbors_oracle(),
+        "embedding_ivf_topk": _ivf_topk_oracle(),
         "embedding_near_dup": """
             WITH u AS (
               SELECT vec_id,
