@@ -450,8 +450,10 @@ def oracle_sql() -> dict[str, str]:
         # exact-verified LSH dedup: oracle = exact Jaccard >= threshold;
         # the Spark side only matches if the signature banding finds
         # every true pair (full-recall check, deterministic seeds)
-        "minhash_dup_pairs_docs": _exact_jaccard_oracle(0.5),
-        "simhash_dup_pairs_docs": _exact_jaccard_oracle(0.5),
+        "minhash_dup_pairs_docs": _exact_jaccard_oracle(
+            DD.DOC_JACCARD_THRESHOLD),
+        "simhash_dup_pairs_docs": _exact_jaccard_oracle(
+            DD.DOC_JACCARD_THRESHOLD),
         "embedding_lsh_neighbors": _lsh_neighbors_oracle(),
         "embedding_ivf_topk": _ivf_topk_oracle(),
         "embedding_near_dup": """

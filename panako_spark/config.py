@@ -130,7 +130,18 @@ class PanakoConfig:
     minhash_bands: int = 32           # 32 bands x 4 rows
     minhash_shingle: int = 3          # token 3-grams
     minhash_seed: int = 0x5EED
-    minhash_jaccard_threshold: float = 0.5
+    # Caption-channel accept threshold on the signature-estimated
+    # Jaccard (band collision still required). Tuned on the 580-image
+    # corpus: heavy-crop + token-substitution dups sit at est 51/128 -
+    # 63/128 (0.398-0.49) — 0.39 recovers 8 of 17 residual missed truth
+    # pairs (pairwise recall 0.948 -> 0.972) while 0 of ~20k random
+    # non-dup pairs pass the band+estimate gate even at 0.35 (measured;
+    # the shared-vocabulary captions plateau near est ~0.3). 0.39 not
+    # 0.40: the estimate is quantized to k/128, and the hard-crop
+    # cluster sits exactly at 51/128 = 0.3984. The documents-table
+    # dedup operator keeps its own 0.5 default (operators/dedup.py) —
+    # near-dup docs are near-verbatim, unlike substituted captions.
+    minhash_jaccard_threshold: float = 0.39
 
     # ---- SimHash over caption token shingles --------------------------------
     simhash_bits: int = 64

@@ -138,13 +138,60 @@ def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """bytes -> (h, w, 3) uint8. fmt in {'raw','png'}.
+def ffmpeg_path() -> str | None:
+    """Resolved ffmpeg binary, or None (memoized per process)."""
+    global _FFMPEG
+    if _FFMPEG is _UNSET:
+        import shutil
 
-    Unknown / undecodable formats (e.g. real-world jpeg at 100 TB scale)
-    would plug in here; the sandbox has no image libs so only the two
-    lossless codecs are real (SURVEY.md §7 environment facts).
+        _FFMPEG = shutil.which("ffmpeg")
+    return _FFMPEG
+
+
+_UNSET = object()
+_FFMPEG: object = _UNSET
+
+
+def decode_via_ffmpeg(data: bytes, w: int, h: int,
+                      timeout: float = 60.0) -> np.ndarray:
+    """Container codecs (jpeg/webp/mp4-frame/...) through an ffmpeg
+    subprocess PIPE — the reference engine's own decode strategy: it
+    shells out to ffmpeg per resource and reads raw samples from stdout
+    (the DECODER/pipe config family, Key.java:80-107). stdin carries the
+    encoded bytes, stdout returns rgb24 raw frames; no temp files.
+
+    Scale note: one short-lived subprocess per row is exactly what the
+    reference pays per file; at 10^12 rows a deployment should keep a
+    long-lived ffmpeg per executor core or link a decode library — this
+    seam isolates that swap to one function.
     """
+    exe = ffmpeg_path()
+    if exe is None:
+        raise NotImplementedError(
+            "container codec needs ffmpeg on PATH (absent in this "
+            "sandbox); raw/png decode natively")
+    import subprocess
+
+    proc = subprocess.run(
+        [str(exe), "-v", "error", "-i", "pipe:0",
+         "-frames:v", "1", "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"],
+        input=data, capture_output=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise ValueError(
+            f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:200]}")
+    raw = np.frombuffer(proc.stdout, dtype=np.uint8)
+    if raw.size != h * w * 3:
+        raise ValueError(f"ffmpeg output {raw.size} bytes != expected "
+                         f"{h}x{w}x3 (metadata mismatch?)")
+    return raw.reshape(h, w, 3).copy()
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8. 'raw' and 'png' decode natively (pure
+    NumPy); any other fmt routes through the ffmpeg subprocess pipe when
+    the binary is present (decode_via_ffmpeg — the reference's own
+    decode path) and raises NotImplementedError otherwise, which the
+    extract kernel quarantines into the err column."""
     if fmt == "raw":
         return decode_raw(data, w, h)
     if fmt == "png":
@@ -152,7 +199,7 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape[:2] != (h, w):
             raise ValueError(f"PNG dims {img.shape[:2]} != metadata ({h},{w})")
         return img
-    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+    return decode_via_ffmpeg(data, w, h)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

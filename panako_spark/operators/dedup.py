@@ -97,9 +97,16 @@ def _exact_jaccard_verify(spark: SparkSession, sf_dir: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+DOC_JACCARD_THRESHOLD = 0.5  # docs table near-dups are near-verbatim;
+#                              decoupled from the caption-channel knob
+#                              (config.minhash_jaccard_threshold) and
+#                              shared with the DuckDB oracle
+
+
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str,
                       cfg: PanakoConfig | None = None,
-                      verify: str = "estimate") -> DataFrame:
+                      verify: str = "estimate",
+                      threshold: float = DOC_JACCARD_THRESHOLD) -> DataFrame:
     """MinHash-LSH near-dup pairs on documents — the scale path that the
     exact ngram_jaccard_pairs oracles. verify="estimate" filters on the
     signature-estimated Jaccard (pure signature math, the 10^12-row
@@ -113,8 +120,7 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str,
     from panako_spark.stages.candidates import pairs_from_keys
     cand, _ = pairs_from_keys(keyed, cfg.band_pair_cap)
     if verify == "exact":
-        return _exact_jaccard_verify(spark, sf_dir, cand,
-                                     cfg.minhash_jaccard_threshold)
+        return _exact_jaccard_verify(spark, sf_dir, cand, threshold)
     a = sigs.select(F.col("doc_id").alias("id_a"),
                     F.col("minhash").alias("_ma"))
     b = sigs.select(F.col("doc_id").alias("id_b"),
@@ -126,13 +132,14 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str,
                                                .cast("int")),
                                     F.lit(0), lambda acc, v: acc + v)
                         / F.lit(cfg.minhash_perms))
-            .where(F.col("jaccard_est") >= cfg.minhash_jaccard_threshold)
+            .where(F.col("jaccard_est") >= threshold)
             .select("id_a", "id_b", "jaccard_est"))
 
 
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str,
                       cfg: PanakoConfig | None = None,
-                      verify: str = "estimate") -> DataFrame:
+                      verify: str = "estimate",
+                      threshold: float = DOC_JACCARD_THRESHOLD) -> DataFrame:
     """SimHash near-dup pairs on documents. verify="estimate" gates on
     the 64-bit Hamming distance (pure signature math); verify="exact"
     gates the band candidates on exact shingle Jaccard — oracle-checkable
@@ -146,8 +153,7 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str,
     from panako_spark.stages.candidates import pairs_from_keys
     cand, _ = pairs_from_keys(keyed, cfg.band_pair_cap)
     if verify == "exact":
-        return _exact_jaccard_verify(spark, sf_dir, cand,
-                                     cfg.minhash_jaccard_threshold)
+        return _exact_jaccard_verify(spark, sf_dir, cand, threshold)
     s = sigs.select("doc_id", "simhash")
     a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))

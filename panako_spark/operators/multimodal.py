@@ -122,14 +122,29 @@ def decode_audio(data: bytes, fmt: str, sample_rate: int) -> np.ndarray:
 
     'pcm16' (s16le mono, the reference decoder's own canonical target,
     Key.java:85) decodes in pure NumPy. Container formats (mp3/ogg/wav
-    with headers) need ffmpeg — STUB: raises NotImplementedError here;
-    at deployment this is the one function to swap for an ffmpeg pipe.
+    with headers) route through the ffmpeg subprocess pipe when the
+    binary exists — the reference's own decode strategy
+    (Key.java:80-107) — and raise NotImplementedError otherwise (the
+    kernels quarantine that into the err column).
     """
     if fmt == "pcm16":
         return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    raise NotImplementedError(
-        f"audio codec {fmt!r} requires ffmpeg (not in this sandbox); "
-        "swap decode_audio for an ffmpeg pipe at deployment")
+    from panako_spark.kernels.codec import ffmpeg_path
+
+    exe = ffmpeg_path()
+    if exe is None:
+        raise NotImplementedError(
+            f"audio codec {fmt!r} requires ffmpeg (not in this sandbox)")
+    import subprocess
+
+    proc = subprocess.run(
+        [str(exe), "-v", "error", "-i", "pipe:0", "-f", "s16le",
+         "-ac", "1", "-ar", str(sample_rate), "pipe:1"],
+        input=data, capture_output=True, timeout=120)
+    if proc.returncode != 0:
+        raise ValueError("ffmpeg audio decode failed: "
+                         f"{proc.stderr.decode(errors='replace')[:200]}")
+    return np.frombuffer(proc.stdout, dtype="<i2").astype(np.float32) / 32768.0
 
 
 def audio_features(audio: DataFrame) -> DataFrame:

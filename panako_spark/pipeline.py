@@ -53,7 +53,8 @@ def _band_stats_lineage(spark: SparkSession, stage: str, stats_row,
 
 def materialize_extract(spark: SparkSession, images: DataFrame,
                         store: CheckpointStore, cfg: PanakoConfig,
-                        stats: dict | None = None
+                        stats: dict | None = None,
+                        lineage_sink: list | None = None
                         ) -> tuple[DataFrame, DataFrame]:
     """One decode pass -> durable prints + signatures checkpoints.
 
@@ -84,8 +85,15 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
         store.write(split_signatures(extracted), "signatures", config_fp=fp)
         stats["t_signatures_s"] = round(time.monotonic() - t0, 2)
         t0 = time.monotonic()
-        store.append_lineage(lineage_from_extracted(extracted, "extract",
-                                                    store.run_id))
+        lin = lineage_from_extracted(extracted, "extract", store.run_id)
+        if lineage_sink is not None:
+            # defer: the caller batches every lineage frame into ONE
+            # append job at the end of the run (the per-stage append
+            # writes were pure driver-serial cost). The aggregate is
+            # collected now, while the extract is still cached.
+            lineage_sink.extend(lin.collect())
+        else:
+            store.append_lineage(lin)
         stats["t_lineage_s"] = round(time.monotonic() - t0, 2)
     finally:
         extracted.unpersist()
@@ -109,90 +117,119 @@ def corpus_census(images: DataFrame) -> tuple[int, int, int]:
 
 def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                  cfg: PanakoConfig | None = None) -> PipelineResult:
+    """Scaling-efficiency discipline (BASELINE.json: >=0.8 N->4N): the
+    driver-serial term is minimized by (a) overlapping independent DAG
+    branches — the corpus census rides alongside extract, and the
+    landmark verify branch runs CONCURRENTLY with the fused signature
+    channels from two submitter threads (Spark schedules both job DAGs;
+    barrier gaps and Python-worker phases of one branch are filled with
+    the other's tasks); (b) one consolidated lineage append at the end
+    instead of per-stage append jobs; (c) no dup_pairs re-write — the
+    union of the two checkpointed branch tables IS the pair set."""
     cfg = cfg or PanakoConfig()
     stats: dict = {}
     t_start = time.monotonic()
+    from concurrent.futures import ThreadPoolExecutor
 
-    n_images, n_ids, n_hashed = corpus_census(images)
-    if n_ids != n_hashed:
-        raise RuntimeError(
-            f"xxhash64(image_id) collision: {n_ids} distinct ids -> "
-            f"{n_hashed} distinct hashes. Two images would silently share "
-            "a numeric id; mint dictionary-encoded int64 ids at ingest "
-            "(candidates.landmark_hits docstring) and rerun.")
-    stats["n_images"] = n_images
+    lineage_rows: list = []
+    ex = ThreadPoolExecutor(max_workers=2)
+    try:
+        # census (tiny id-only aggregate) overlaps the extract scan
+        census_fut = ex.submit(corpus_census, images)
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        stats[f"t_{name}_s"] = round(time.monotonic() - t0, 2)
-        return out
+        def timed(name: str, fn):
+            t0 = time.monotonic()
+            out = fn()
+            stats[f"t_{name}_s"] = round(time.monotonic() - t0, 2)
+            return out
 
-    def arrow_batch(rows: int) -> None:
-        # runtime-settable; image rows are ~200 KB so extract wants small
-        # batches, while flat-int stages want big ones
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       str(rows))
+        def arrow_batch(rows: int) -> None:
+            # runtime-settable; image rows are ~200 KB so extract wants
+            # small batches, while flat-int stages want big ones
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           str(rows))
 
-    # ---- extract (one decode pass) -----------------------------------------
-    arrow_batch(cfg.arrow_batch_rows)
-    prints, signatures = timed("extract", lambda: materialize_extract(
-        spark, images, store, cfg, stats))
+        # ---- extract (one decode pass) -------------------------------------
+        arrow_batch(cfg.arrow_batch_rows)
+        prints, signatures = timed("extract", lambda: materialize_extract(
+            spark, images, store, cfg, stats, lineage_sink=lineage_rows))
 
-    # ---- landmark channel: probe join + alignment verify --------------------
-    arrow_batch(8192)
+        n_images, n_ids, n_hashed = census_fut.result()
+        if n_ids != n_hashed:
+            raise RuntimeError(
+                f"xxhash64(image_id) collision: {n_ids} distinct ids -> "
+                f"{n_hashed} distinct hashes. Two images would silently "
+                "share a numeric id; mint dictionary-encoded int64 ids at "
+                "ingest (candidates.landmark_hits docstring) and rerun.")
+        stats["n_images"] = n_images
 
-    def compute_verified() -> DataFrame:
-        # Q5's min-hits gate runs inside the verify kernel (one shuffle
-        # on the pair key, no gate aggregation); the widest shuffle of
-        # the pipeline runs on int64 ids, resolved back to strings after
-        v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True,
-                                       n_images=n_images),
-                       cfg, numeric_ids=True)
-        return C.resolve_numeric_ids(v, images)
+        # ---- landmark verify ∥ fused signature channels ---------------------
+        arrow_batch(8192)
 
-    verified = timed("verify", lambda: store.read_or_compute(
-        spark, "verified", compute_verified))
+        def compute_verified() -> DataFrame:
+            # Q5's min-hits gate runs inside the verify kernel (one
+            # shuffle on the pair key); the widest shuffle of the
+            # pipeline runs on int64 ids, resolved back to strings after
+            v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True,
+                                           n_images=n_images),
+                           cfg, numeric_ids=True)
+            return C.resolve_numeric_ids(v, images)
 
-    # ---- signature channels, fused ------------------------------------------
-    fused_stats_box: list = []
-    fused_caches: list = []
+        fused_stats_box: list = []
+        fused_caches: list = []
 
-    def compute_pairs() -> DataFrame:
-        fused, fused_stats = C.fused_candidate_pairs(signatures, images, cfg,
-                                                     caches=fused_caches)
-        fused_stats_box.append(fused_stats)
-        lm = verified.select(F.lit("landmark").alias("channel"),
+        def compute_fused() -> DataFrame:
+            fused, fused_stats = C.fused_candidate_pairs(
+                signatures, images, cfg, caches=fused_caches)
+            fused_stats_box.append(fused_stats)
+            return fused.select("channel", "id_a", "id_b")
+
+        fut_v = ex.submit(lambda: timed("verify", lambda: (
+            store.read_or_compute(spark, "verified", compute_verified))))
+        fut_f = ex.submit(lambda: timed("pairs", lambda: (
+            store.read_or_compute(spark, "fused_pairs", compute_fused))))
+        verified = fut_v.result()
+        fused_pairs = fut_f.result()
+
+        dup_pairs = (verified
+                     .select(F.lit("landmark").alias("channel"),
                              "id_a", "id_b")
-        return lm.unionByName(fused).select("id_a", "id_b", "channel")
+                     .unionByName(fused_pairs)
+                     .select("id_a", "id_b", "channel"))
 
-    dup_pairs = timed("pairs", lambda: store.read_or_compute(
-        spark, "dup_pairs", compute_pairs))
-    if fused_stats_box:
-        # collected AFTER the pairs write: the band-count cache is warm
-        # by then, so the stats job costs ~nothing serial
-        rows = fused_stats_box[0].collect()
-        for row in rows:
-            stats[f"bands_{row['channel']}"] = {k: row[k] for k in (
-                "n_keys", "n_hot_keys", "dropped_cross_pairs_estimate")}
-        store.append_lineage(spark.createDataFrame(
-            [(f"bands_{r['channel']}", -1, int(r["n_keys"]),
-              int(r["n_hot_keys"]),
-              int(r["dropped_cross_pairs_estimate"]), 0, store.run_id)
-             for r in rows],
-            schema="stage string, partition_id int, input_count long, "
-                   "signature_count long, band_count long, elapsed_ms long, "
-                   "run_id string"))
-    for c in fused_caches:   # release candidate/count caches: repeated
-        c.unpersist()        # runs in one session must not leak memory
+        if fused_stats_box:
+            # the band-count cache is warm after the fused write, so this
+            # stats job costs ~nothing; rows go into the one deferred
+            # lineage append below
+            rows = fused_stats_box[0].collect()
+            for row in rows:
+                stats[f"bands_{row['channel']}"] = {k: row[k] for k in (
+                    "n_keys", "n_hot_keys", "dropped_cross_pairs_estimate")}
+            lineage_rows.extend(
+                (f"bands_{r['channel']}", -1, int(r["n_keys"]),
+                 int(r["n_hot_keys"]),
+                 int(r["dropped_cross_pairs_estimate"]), 0, store.run_id)
+                for r in rows)
+        for c in fused_caches:   # release candidate/count caches: repeated
+            c.unpersist()        # runs in one session must not leak memory
 
-    # ---- clustering ------------------------------------------------------------
-    clusters = timed("cluster", lambda: store.read_or_compute(
-        spark, "clusters",
-        lambda: connected_components(
-            dup_pairs.select("id_a", "id_b").distinct(),
-            images.select("image_id"),
-            cfg.cc_max_iterations)))
+        # ---- clustering -----------------------------------------------------
+        clusters = timed("cluster", lambda: store.read_or_compute(
+            spark, "clusters",
+            lambda: connected_components(
+                dup_pairs.select("id_a", "id_b").distinct(),
+                images.select("image_id"),
+                cfg.cc_max_iterations)))
+
+        # ---- one consolidated lineage append --------------------------------
+        if lineage_rows:
+            store.append_lineage(spark.createDataFrame(
+                [tuple(r) for r in lineage_rows],
+                schema="stage string, partition_id int, input_count long, "
+                       "signature_count long, band_count long, "
+                       "elapsed_ms long, run_id string"))
+    finally:
+        ex.shutdown(wait=False)
 
     stats["elapsed_s"] = time.monotonic() - t_start
     return PipelineResult(clusters=clusters, dup_pairs=dup_pairs,

@@ -88,3 +88,45 @@ def test_video_frame_sample_and_dedup_rows(spark):
     assert rows.columns == ["image_id", "bytes", "w", "h", "fmt",
                             "caption", "phash"]
     assert rows.count() == 3
+
+
+# ----------------------------------------------------- ffmpeg pipe seam ----
+def _have_ffmpeg():
+    from panako_spark.kernels.codec import ffmpeg_path
+
+    return ffmpeg_path() is not None
+
+
+def test_ffmpeg_seam_absent_path_quarantines():
+    """Without ffmpeg the container-codec path must raise
+    NotImplementedError (which the extract kernel turns into an err
+    row), never crash differently or silently return."""
+    import numpy as np
+    import pytest
+
+    from panako_spark.kernels import codec
+    from panako_spark.operators.multimodal import decode_audio
+
+    if _have_ffmpeg():
+        pytest.skip("ffmpeg present; covered by the integration test")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        codec.decode(b"\xff\xd8\xff", 4, 4, "jpeg")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_audio(b"\x00" * 64, "mp3", 8000)
+
+
+def test_ffmpeg_pipe_roundtrip_if_available():
+    """Integration: with ffmpeg on PATH, a PNG decoded via the
+    subprocess pipe matches the native NumPy decoder pixel-exactly."""
+    import numpy as np
+    import pytest
+
+    from panako_spark.kernels import codec
+
+    if not _have_ffmpeg():
+        pytest.skip("no ffmpeg in this environment")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(16, 12, 3), dtype=np.uint8)
+    png = codec.encode(img, "png")
+    via_pipe = codec.decode_via_ffmpeg(png, 12, 16)
+    assert np.array_equal(via_pipe, img)
