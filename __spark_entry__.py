@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from panako_spark.functions import text as TXT
 from panako_spark.operators import ann as ANN
 from panako_spark.operators import dedup as DD
+from panako_spark.operators import pch as PCH
 from panako_spark.operators import relational as R
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_lookup_join": R.resource_lookup_join,  # Q20
         "coverage_histogram": R.coverage_histogram,      # Q13
         "windowed_monitor": R.windowed_monitor,          # Q14
+        "pch_circular_match": PCH.pch_circular_match,    # Q21
         # --- text analysis / dedup family (training-data pipeline) ---
         "token_count": TXT.token_count,
         "token_count_bpe": TXT.token_count_bpe,
@@ -447,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         """,
+        "pch_circular_match": PCH.pch_oracle_sql(),
         # exact-verified LSH dedup: oracle = exact Jaccard >= threshold;
         # the Spark side only matches if the signature banding finds
         # every true pair (full-recall check, deterministic seeds)

@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "stats_scan", "min_hits_gate", "topk_per_group", "near_hash_band_join",
     "resource_lookup_join", "coverage_histogram", "windowed_monitor",
+    "pch_circular_match",
     "token_count", "quality_score", "ngram_jaccard_pairs",
     "embedding_topk", "embedding_near_dup",
 ]
