@@ -8,20 +8,31 @@ scaling efficiency:
 
     efficiency(N -> 4N) = throughput(4N) / (4 * throughput(N))
 
-Measurement hygiene (this sandbox VM has bursty hypervisor CPU steal —
-~12% mean, with spikes that flip single-run comparisons):
+Measurement hygiene — this sandbox VM suffers bursty hypervisor CPU
+steal (baseline <1%, bursts of 20-40% lasting minutes, measured from
+/proc/stat). A steal burst slows an 8-core run ~proportionally while
+barely touching a 2-core run, so single runs — and even unlucky
+medians — can understate scaling by 1.5x. The protocol therefore:
   * R repeats per level, ALTERNATING levels (N, 4N, N, 4N, ...) so host
-    drift decorrelates from level; report the per-level MEDIAN + spread.
+    drift decorrelates from level;
+  * measures the VM's hypervisor STEAL fraction across every individual
+    run (delta of /proc/stat counters) and publishes it per run;
+  * a run with steal above --steal-threshold (default 5%) is marked
+    CONTAMINATED; extra repeats are launched (up to 3x R pairs) until R
+    clean runs per level exist. Headline medians are over CLEAN runs;
+    all-runs medians are published alongside — nothing is discarded
+    silently;
   * the hardware ceiling is measured inline: a pure-CPU multiprocess
     benchmark at N and 4N processes gives the max throughput ratio the
-    VM can physically deliver (SMT + steal + memory bandwidth cap it
-    well below 4x). Efficiency is reported raw AND normalized to that
+    VM can physically deliver (SMT + residual steal + memory bandwidth
+    cap it below 4x). Efficiency is reported raw AND normalized to that
     ceiling — on a real cluster with N and 4N executors the ceiling is
     ~1.0 and the raw number is the one that counts.
 
 Writes BENCH/BASELINE.md. Usage:
-    python tools/scaling_run.py [--n 8] [--repeats 3]
-        [--n-base-store 60000] [--n-base-full 6000] [--modes store,full]
+    python tools/scaling_run.py [--n 2] [--repeats 3]
+        [--n-base-store 20000] [--n-base-full 24000] [--modes store,full]
+        [--steal-threshold 5.0]
 """
 
 from __future__ import annotations
@@ -58,16 +69,29 @@ def hardware_ratio(n: int) -> dict:
             "ratio": out[4 * n] / out[n]}
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_level(cpus: int, n_base: int, mode: str) -> dict:
+    s0, t0 = _cpu_counters()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
          "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode],
         capture_output=True, text=True, timeout=3600, check=True,
         cwd=REPO)
+    s1, t1 = _cpu_counters()
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+            return r
     raise RuntimeError(f"no JSON line in bench output:\n{out.stdout[-2000:]}"
                        f"\n{out.stderr[-2000:]}")
 
@@ -76,11 +100,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-base", type=int, default=None,
                     help="override corpus size for ALL modes")
-    ap.add_argument("--n-base-store", type=int, default=60000)
-    ap.add_argument("--n-base-full", type=int, default=6000)
-    ap.add_argument("--n", type=int, default=8, help="small level N (4N big)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n-base-store", type=int, default=20000)
+    ap.add_argument("--n-base-full", type=int, default=24000)
+    ap.add_argument("--n", type=int, default=2, help="small level N (4N big)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="clean runs required per level")
     ap.add_argument("--modes", default="store,full")
+    ap.add_argument("--steal-threshold", type=float, default=5.0,
+                    help="max %% hypervisor steal for a run to count as "
+                         "clean")
     args = ap.parse_args()
 
     levels = [args.n, args.n * 4]
@@ -96,32 +124,61 @@ def main() -> None:
         m: {c: [] for c in levels} for m in modes}
     for mode in modes:
         key = "image_store" if mode == "store" else "image_dedup_pipeline"
-        for rep in range(args.repeats):
-            for cpus in levels:  # alternate N, 4N within each repeat
+        max_pairs = args.repeats * 3
+        pair = 0
+        while pair < max_pairs:
+            for cpus in levels:  # alternate N, 4N within each pair
                 r = run_level(cpus, n_bases[mode], mode)
                 runs[mode][cpus].append(r)
-                print(f"[{mode}] rep{rep} local[{cpus}]: "
+                clean = r["steal_pct"] <= args.steal_threshold
+                print(f"[{mode}] pair{pair} local[{cpus}]: "
                       f"{r['images_per_sec']} images/s "
-                      f"({r['queries'][key]} s, {r['n_images']} images)",
+                      f"({r['queries'][key]} s, {r['n_images']} images, "
+                      f"steal {r['steal_pct']}%"
+                      f"{'' if clean else ' CONTAMINATED'})",
                       flush=True)
+            pair += 1
+            n_clean = min(
+                sum(1 for x in runs[mode][c]
+                    if x["steal_pct"] <= args.steal_threshold)
+                for c in levels)
+            if n_clean >= args.repeats:
+                break
+
+    def med(vals: list[float]) -> float:
+        return statistics.median(vals) if vals else float("nan")
 
     summary: dict[str, dict] = {}
     for mode in modes:
-        med = {c: statistics.median(x["images_per_sec"]
-                                    for x in runs[mode][c])
+        clean = {c: [x for x in runs[mode][c]
+                     if x["steal_pct"] <= args.steal_threshold]
+                 for c in levels}
+        use = {c: (clean[c] if clean[c] else runs[mode][c])
                for c in levels}
+        med_clean = {c: med([x["images_per_sec"] for x in use[c]])
+                     for c in levels}
+        med_all = {c: med([x["images_per_sec"] for x in runs[mode][c]])
+                   for c in levels}
         spread = {c: (min(x["images_per_sec"] for x in runs[mode][c]),
                       max(x["images_per_sec"] for x in runs[mode][c]))
                   for c in levels}
-        speedup = med[levels[1]] / med[levels[0]]
-        eff = speedup / 4.0
-        eff_hw = speedup / hw["ratio"]
-        summary[mode] = {"median": med, "spread": spread,
-                         "speedup": speedup, "efficiency_raw": eff,
-                         "efficiency_vs_hw_ceiling": eff_hw,
-                         "n_images": runs[mode][levels[0]][0]["n_images"]}
-        print(f"[{mode}] median speedup {speedup:.2f}x, raw eff {eff:.3f}, "
-              f"vs-hw-ceiling eff {eff_hw:.3f}", flush=True)
+        speedup = med_clean[levels[1]] / med_clean[levels[0]]
+        speedup_all = med_all[levels[1]] / med_all[levels[0]]
+        summary[mode] = {
+            "median_clean": med_clean, "median_all_runs": med_all,
+            "spread": spread,
+            "n_clean": {c: len(clean[c]) for c in levels},
+            "n_runs": {c: len(runs[mode][c]) for c in levels},
+            "speedup_clean": speedup, "speedup_all_runs": speedup_all,
+            "efficiency_raw": speedup / 4.0,
+            "efficiency_vs_hw_ceiling": speedup / hw["ratio"],
+            "efficiency_raw_all_runs": speedup_all / 4.0,
+            "n_images": runs[mode][levels[0]][0]["n_images"]}
+        print(f"[{mode}] clean-median speedup {speedup:.2f}x "
+              f"(raw eff {speedup / 4.0:.3f}, vs-ceiling "
+              f"{speedup / hw['ratio']:.3f}); all-runs speedup "
+              f"{speedup_all:.2f}x (raw {speedup_all / 4.0:.3f})",
+              flush=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -130,24 +187,31 @@ def main() -> None:
         s = summary[mode]
         for c in levels:
             lo, hi = s["spread"][c]
+            steals = ", ".join(
+                f"{x['steal_pct']}%" for x in runs[mode][c])
             rows.append(
                 f"| {mode} | local[{c}] | {s['n_images']} | "
-                f"{s['median'][c]:.1f} | {lo:.1f}-{hi:.1f} |")
+                f"{s['median_clean'][c]:.1f} | {lo:.1f}-{hi:.1f} | "
+                f"{s['n_clean'][c]}/{s['n_runs'][c]} | {steals} |")
     eff_lines = "\n".join(
-        f"- **{m}**: median speedup {summary[m]['speedup']:.2f}x -> raw "
-        f"efficiency {summary[m]['efficiency_raw']:.3f}; normalized to the "
-        f"VM's measured ceiling ({hw['ratio']:.2f}x): "
-        f"**{summary[m]['efficiency_vs_hw_ceiling']:.3f}**"
+        f"- **{m}**: clean-median speedup {summary[m]['speedup_clean']:.2f}x"
+        f" -> raw efficiency {summary[m]['efficiency_raw']:.3f}; normalized"
+        f" to the VM's measured ceiling ({hw['ratio']:.2f}x):"
+        f" **{summary[m]['efficiency_vs_hw_ceiling']:.3f}**. All-runs"
+        f" (contaminated included) median speedup"
+        f" {summary[m]['speedup_all_runs']:.2f}x (raw"
+        f" {summary[m]['efficiency_raw_all_runs']:.3f})."
         for m in modes)
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
 Generated by `python tools/scaling_run.py --n {args.n} --repeats
 {args.repeats} --n-base-store {n_bases['store']} --n-base-full
-{n_bases['full']}` on {datetime.date.today().isoformat()} (single host,
-{os.cpu_count()} vCPUs, fresh JVM per run, {args.repeats} repeats per
-level with levels alternated, identical cached multi-file input corpus
-per mode, BLAS pinned to 1 thread/worker, medians reported).
+{n_bases['full']} --steal-threshold {args.steal_threshold}` on
+{datetime.date.today().isoformat()} (single host, {os.cpu_count()}
+vCPUs, fresh JVM per run, levels alternated within each repeat pair,
+identical cached multi-file input corpus per mode, BLAS pinned to
+1 thread/worker).
 
 Two protocols, mirroring the reference's own benchmark split
 (store-rate vs query-rate, resources/scripts/benchmark/benchmark.rb):
@@ -156,24 +220,37 @@ Two protocols, mirroring the reference's own benchmark split
   ingest path; the reference's store benchmark). Embarrassingly
   parallel by construction.
 - **full** — the whole dedup pipeline: extract -> landmark probe join +
-  alignment verify -> fused signature candidate channels -> connected
-  components, checkpointed, end to end.
+  alignment verify (run CONCURRENTLY with the fused signature candidate
+  channels) -> connected components, checkpointed, end to end.
+
+## Hypervisor-steal gating
+
+This VM shares CPUs with other tenants: /proc/stat steal is <1% at
+baseline but bursts to 20-40% for minutes at a time. A burst slows a
+{4 * args.n}-core run ~proportionally while barely touching a
+{args.n}-core run, so an unlucky run pair understates scaling by up to
+1.5x while the same binary measures 1.5x better an hour later. Every
+run below therefore carries its measured steal fraction; runs above
+{args.steal_threshold}% steal are marked contaminated and extra repeat
+pairs are launched until {args.repeats} clean runs per level exist
+(capped at {args.repeats * 3} pairs). Headline medians are over clean
+runs; the all-runs medians are published alongside and nothing is
+dropped from the table. On real dedicated executors this confounder
+does not exist.
 
 ## Hardware ceiling of this sandbox
 
-A pure-CPU multiprocess benchmark (no Spark, no I/O) delivers only
-**{hw['ratio']:.2f}x** more throughput at {4 * args.n} processes than at
-{args.n} — hypervisor steal time (~12% mean, bursty) plus SMT/memory-
-bandwidth sharing cap this VM well below the ideal 4x. That bounds ANY
-job's achievable N->4N efficiency at {hw['ratio'] / 4:.2f} here; the
-"vs-ceiling" numbers below divide by this measured ratio and are the
-cluster-meaningful figures (on real separate executors the ceiling is
-~1.0x per the north rule's assumption).
+A pure-CPU multiprocess benchmark (no Spark, no I/O) delivers
+**{hw['ratio']:.2f}x** more throughput at {4 * args.n} processes than
+at {args.n} — SMT/memory-bandwidth sharing plus residual steal bound
+ANY job's achievable N->4N efficiency at {hw['ratio'] / 4:.2f} here;
+the "vs-ceiling" numbers below divide by this measured ratio (on a
+real cluster the ceiling is ~1.0x per the north rule's assumption).
 
-## Results (median of {args.repeats}, alternated levels)
+## Results (medians over clean runs; every run shown)
 
-| mode | parallelism | images | throughput (img/s, median) | spread |
-|---|---|---|---|---|
+| mode | parallelism | images | throughput (img/s, clean median) | spread (all runs) | clean/total | per-run steal |
+|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 {eff_lines}
@@ -190,9 +267,9 @@ same job at two local parallelism levels on the same input.
 The reference (Panako, single node, 8 cores) stores 334-388 seconds of
 audio per wall-clock second at ~45.6 landmark hashes per second of
 audio = ~15-18k hashes/s ingested. This engine extracts ~580 landmark
-hashes per image; at {summary[modes[0]]['median'][levels[1]]:.0f}
-images/s (store, 4N median) that is
-~{int(summary[modes[0]]['median'][levels[1]] * 580):,} hashes/s
+hashes per image; at {summary[modes[0]]['median_clean'][levels[1]]:.0f}
+images/s (store, 4N clean median) that is
+~{int(summary[modes[0]]['median_clean'][levels[1]] * 580):,} hashes/s
 ingested — plus MinHash-128, SimHash, phash bands and substring
 fingerprints in the same single decode pass, which the reference does
 not compute.
