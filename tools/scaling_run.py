@@ -16,7 +16,10 @@ medians — can understate scaling by 1.5x. The protocol therefore:
   * R repeats per level, ALTERNATING levels (N, 4N, N, 4N, ...) so host
     drift decorrelates from level;
   * measures the VM's hypervisor STEAL fraction across every individual
-    run (delta of /proc/stat counters) and publishes it per run;
+    run (delta of /proc/stat counters, reported relative to BUSY ticks —
+    a local[2] run keeps 30/32 vCPUs idle, so aggregate steal dilutes
+    the contention on the busy cores ~16x and misses it) and publishes
+    it per run;
   * a run with steal above --steal-threshold (default 5%) is marked
     CONTAMINATED; extra repeats are launched (up to 3x R pairs) until R
     clean runs per level exist. Headline medians are over CLEAN runs;
@@ -69,28 +72,36 @@ def hardware_ratio(n: int) -> dict:
             "ratio": out[4 * n] / out[n]}
 
 
-def _cpu_counters() -> tuple[int, int]:
-    """(steal_ticks, total_ticks) from the aggregate /proc/stat line."""
+def _cpu_counters() -> tuple[int, int, int]:
+    """(steal, busy, total) ticks from the aggregate /proc/stat line.
+    busy excludes idle+iowait — steal must be judged against the time
+    the VM actually wanted CPU, because a local[2] run keeps 30 of 32
+    vCPUs idle and dilutes any aggregate-steal reading ~16x."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = list(map(int, parts[1:]))
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    total = sum(vals)
+    return steal, total - idle, total
 
 
 def run_level(cpus: int, n_base: int, mode: str) -> dict:
-    s0, t0 = _cpu_counters()
+    s0, b0, t0 = _cpu_counters()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
          "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode],
         capture_output=True, text=True, timeout=3600, check=True,
         cwd=REPO)
-    s1, t1 = _cpu_counters()
+    s1, b1, t1 = _cpu_counters()
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             r = json.loads(line)
-            r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+            r["steal_pct"] = round(
+                100.0 * (s1 - s0) / max(1, b1 - b0), 2)  # busy-relative
+            r["steal_pct_aggregate"] = round(
+                100.0 * (s1 - s0) / max(1, t1 - t0), 2)
             return r
     raise RuntimeError(f"no JSON line in bench output:\n{out.stdout[-2000:]}"
                        f"\n{out.stderr[-2000:]}")
@@ -230,7 +241,10 @@ baseline but bursts to 20-40% for minutes at a time. A burst slows a
 {4 * args.n}-core run ~proportionally while barely touching a
 {args.n}-core run, so an unlucky run pair understates scaling by up to
 1.5x while the same binary measures 1.5x better an hour later. Every
-run below therefore carries its measured steal fraction; runs above
+run below therefore carries its measured steal fraction — relative to
+BUSY (non-idle) ticks, because a {args.n}-core run leaves most vCPUs
+idle and an aggregate reading dilutes the contention on the busy cores
+~{32 // args.n}x; runs above
 {args.steal_threshold}% steal are marked contaminated and extra repeat
 pairs are launched until {args.repeats} clean runs per level exist
 (capped at {args.repeats * 3} pairs). Headline medians are over clean
