@@ -20,6 +20,9 @@ medians — can understate scaling by 1.5x. The protocol therefore:
     a local[2] run keeps 30/32 vCPUs idle, so aggregate steal dilutes
     the contention on the busy cores ~16x and misses it) and publishes
     it per run;
+  * before each repeat pair a short loaded probe waits (bounded) for a
+    quiet window — scheduling runs between bursts beats re-running
+    contaminated pairs;
   * a run with steal above --steal-threshold (default 5%) is marked
     CONTAMINATED; extra repeats are launched (up to 3x R pairs) until R
     clean runs per level exist. Headline medians are over CLEAN runs;
@@ -86,6 +89,39 @@ def _cpu_counters() -> tuple[int, int, int]:
     return steal, total - idle, total
 
 
+def _steal_probe(procs: int = 8, seconds: float = 6.0) -> float:
+    """Busy-relative steal %% while spinning `procs` processes — an idle
+    VM shows ~zero busy ticks, so contention must be probed under load."""
+    s0, b0, _ = _cpu_counters()
+    t_end = time.monotonic() + seconds
+
+    def spin_until(_):
+        x = 0
+        while time.monotonic() < t_end:
+            for _ in range(20000):
+                x += 1
+        return x
+
+    with mp.Pool(procs) as p:
+        p.map(spin_until, range(procs))
+    s1, b1, _ = _cpu_counters()
+    return 100.0 * (s1 - s0) / max(1, b1 - b0)
+
+
+def wait_for_quiet(threshold: float, max_wait_s: float = 600.0) -> float:
+    """Block until a steal probe comes in under threshold (or the wait
+    budget runs out); returns the last probe reading. Scheduling runs
+    into quiet windows beats re-running contaminated pairs."""
+    t0 = time.monotonic()
+    while True:
+        steal = _steal_probe()
+        if steal <= threshold or time.monotonic() - t0 > max_wait_s:
+            return steal
+        print(f"    host busy (probe steal {steal:.1f}%) — waiting for a "
+              f"quiet window", flush=True)
+        time.sleep(45)
+
+
 def run_level(cpus: int, n_base: int, mode: str) -> dict:
     s0, b0, t0 = _cpu_counters()
     out = subprocess.run(
@@ -138,6 +174,9 @@ def main() -> None:
         max_pairs = args.repeats * 3
         pair = 0
         while pair < max_pairs:
+            probe = wait_for_quiet(args.steal_threshold)
+            print(f"[{mode}] pair{pair}: pre-flight probe steal "
+                  f"{probe:.1f}%", flush=True)
             for cpus in levels:  # alternate N, 4N within each pair
                 r = run_level(cpus, n_bases[mode], mode)
                 runs[mode][cpus].append(r)
