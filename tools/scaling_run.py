@@ -89,21 +89,21 @@ def _cpu_counters() -> tuple[int, int, int]:
     return steal, total - idle, total
 
 
+def _spin_until(t_end: float) -> int:
+    x = 0
+    while time.monotonic() < t_end:   # CLOCK_MONOTONIC is system-wide
+        for _ in range(20000):
+            x += 1
+    return x
+
+
 def _steal_probe(procs: int = 8, seconds: float = 6.0) -> float:
     """Busy-relative steal %% while spinning `procs` processes — an idle
     VM shows ~zero busy ticks, so contention must be probed under load."""
     s0, b0, _ = _cpu_counters()
     t_end = time.monotonic() + seconds
-
-    def spin_until(_):
-        x = 0
-        while time.monotonic() < t_end:
-            for _ in range(20000):
-                x += 1
-        return x
-
     with mp.Pool(procs) as p:
-        p.map(spin_until, range(procs))
+        p.map(_spin_until, [t_end] * procs)
     s1, b1, _ = _cpu_counters()
     return 100.0 * (s1 - s0) / max(1, b1 - b0)
 
