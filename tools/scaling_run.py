@@ -205,6 +205,14 @@ def main() -> None:
                  for c in levels}
         use = {c: (clean[c] if clean[c] else runs[mode][c])
                for c in levels}
+        # a "clean" ratio built on a level with ZERO clean runs is not
+        # clean — a contaminated (slow) small-level denominator inflates
+        # the speedup; flag it so nobody ships that number as a headline
+        degraded = [c for c in levels if not clean[c]]
+        if degraded:
+            print(f"[{mode}] WARNING: no clean runs at levels {degraded};"
+                  " the 'clean' speedup below mixes contaminated runs and"
+                  " must not be quoted as a clean measurement", flush=True)
         med_clean = {c: med([x["images_per_sec"] for x in use[c]])
                      for c in levels}
         med_all = {c: med([x["images_per_sec"] for x in runs[mode][c]])
