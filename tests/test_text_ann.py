@@ -60,3 +60,17 @@ def test_lsh_neighbors_pairs_before_embedding_join(spark):
     for g in gens:
         assert "ue" not in g, g
     df.count()  # and it still runs
+
+
+def test_pch_kernel_matches_expression_form(spark):
+    """The broadcast-NumPy PCH kernel and the pure-expression form must
+    produce identical rows (integer overlap math + same tie-break)."""
+    from panako_spark.operators.pch import (
+        pch_circular_match, pch_circular_match_sql,
+    )
+
+    a = {tuple(r) for r in
+         pch_circular_match(spark, SF, threshold=0.6).collect()}
+    b = {tuple(r) for r in
+         pch_circular_match_sql(spark, SF, threshold=0.6).collect()}
+    assert a == b and len(a) > 0
