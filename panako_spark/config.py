@@ -255,10 +255,13 @@ def parse_overrides(pairs: list[str] | None) -> dict:
             raise ValueError(f"override {item!r} is not KEY=value")
         key, _, raw = item.partition("=")
         key = key.strip()
-        if not hasattr(DEFAULT_CONFIG, key) or key.startswith("_"):
-            valid = ", ".join(sorted(
-                f.name for f in __import__("dataclasses")
-                .fields(PanakoConfig)))
+        field_names = {f.name for f in __import__("dataclasses")
+                       .fields(PanakoConfig)}
+        if key not in field_names:
+            # hasattr would also accept properties/methods (freq_bins,
+            # with_) which then blow up inside dataclasses.replace —
+            # validate against the actual field set instead
+            valid = ", ".join(sorted(field_names))
             raise ValueError(f"unknown config key {key!r}; valid: {valid}")
         cur = getattr(DEFAULT_CONFIG, key)
         raw = raw.strip()

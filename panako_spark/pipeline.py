@@ -103,11 +103,12 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
 def corpus_census(images: DataFrame) -> tuple[int, int, int]:
     """(n_rows, n_distinct_ids, n_distinct_hashed_ids) in ONE action.
 
-    Feeds the corpus-size-aware stop-word cap AND the xxhash64 id
-    collision guard: the verify shuffle runs on xxhash64(image_id) longs
-    (candidates.landmark_hits), and a collision between two distinct
-    images would silently merge their hit lists. Detect it loudly here —
-    at 10^12-id scale mint dictionary ids at ingest instead."""
+    Feeds the corpus-size-aware stop-word cap, the duplicate-image_id
+    guard (a store is keyed by image_id; duplicate input rows would mint
+    two iids for one id and silently diverge from the golden matcher),
+    and — for legacy pre-iid stores only — the xxhash64 collision guard.
+    The default path mints dictionary ids at ingest (extract.run_extract)
+    so the hash guard is a cheap invariant, not a correctness crutch."""
     row = images.agg(
         F.count("*").alias("n"),
         F.countDistinct("image_id").alias("nd"),
@@ -155,13 +156,24 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             spark, images, store, cfg, stats, lineage_sink=lineage_rows))
 
         n_images, n_ids, n_hashed = census_fut.result()
-        if n_ids != n_hashed:
+        if n_images != n_ids:
+            raise ValueError(
+                f"input has {n_images} rows but only {n_ids} distinct "
+                "image_ids. A store is keyed by image_id; duplicate rows "
+                "would mint multiple iids for one id and silently diverge "
+                "from reference semantics — dedupe the input "
+                "(dropDuplicates('image_id')) and rerun.")
+        if "iid" not in prints.columns and n_ids != n_hashed:
+            # legacy pre-iid checkpoint: the verify shuffle would run on
+            # xxhash64(image_id), where a collision silently merges two
+            # images' hit lists
             raise RuntimeError(
                 f"xxhash64(image_id) collision: {n_ids} distinct ids -> "
-                f"{n_hashed} distinct hashes. Two images would silently "
-                "share a numeric id; mint dictionary-encoded int64 ids at "
-                "ingest (candidates.landmark_hits docstring) and rerun.")
+                f"{n_hashed} distinct hashes, and this store predates "
+                "minted iids. Clear the store and re-extract (ids are "
+                "minted collision-free at ingest now).")
         stats["n_images"] = n_images
+        stats["n_distinct_ids"] = n_ids
 
         # ---- landmark verify ∥ fused signature channels ---------------------
         arrow_batch(8192)
@@ -170,10 +182,14 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             # Q5's min-hits gate runs inside the verify kernel (one
             # shuffle on the pair key); the widest shuffle of the
             # pipeline runs on int64 ids, resolved back to strings after
+            # the stop-word cap is a function of DISTINCT stored images
+            # (the golden matcher counts len(self._prints)); feeding the
+            # raw row count would diverge on duplicate image_id inputs
             v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True,
-                                           n_images=n_images),
+                                           n_images=n_ids),
                            cfg, numeric_ids=True)
-            return C.resolve_numeric_ids(v, images)
+            # the signatures table carries the persisted iid<->string map
+            return C.resolve_numeric_ids(v, signatures)
 
         fused_stats_box: list = []
         fused_caches: list = []

@@ -124,18 +124,20 @@ def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
     union of both query directions of the reference's dedup driver
     (Deduplication.java:98-108) — verify runs both orientations downstream.
 
-    numeric_ids=True replaces the string image_id with xxhash64(image_id)
-    longs in the hit rows (id map recoverable via join): the hit relation
-    is by far the widest shuffle of the pipeline, and 8-byte sort/join
-    keys beat variable-length strings on every axis (shuffle bytes, sort
-    comparisons, Arrow transfer to the verify kernel). At true 10^12-row
-    scale the ingest should mint a dictionary-encoded int64 id instead
-    (64-bit hashing collides at that cardinality); the pipeline only
-    assumes ids are longs, not how they were minted.
+    numeric_ids=True runs the hit rows on int64 ids instead of the string
+    image_id: the hit relation is by far the widest shuffle of the
+    pipeline, and 8-byte sort/join keys beat variable-length strings on
+    every axis (shuffle bytes, sort comparisons, Arrow transfer to the
+    verify kernel). The id is the dictionary-encoded `iid` minted at
+    ingest (extract.run_extract — unique by construction at any
+    cardinality, id map persisted in the checkpoints); prints written by
+    a pre-iid store fall back to xxhash64(image_id), whose collision
+    guard lives in pipeline.corpus_census.
     """
     p = hot_hash_filter(prints, cfg, n_images=n_images)
     if numeric_ids:
-        p = p.withColumn("_iid", F.xxhash64("image_id"))
+        p = p.withColumn("_iid", F.col("iid") if "iid" in prints.columns
+                         else F.xxhash64("image_id"))
     else:
         p = p.withColumn("_iid", F.col("image_id"))
     r = cfg.query_range
@@ -152,14 +154,19 @@ def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
             .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
 
 
-def resolve_numeric_ids(verified: DataFrame, images: DataFrame) -> DataFrame:
-    """Map xxhash64 pair ids back to string image_ids (canonical order).
+def resolve_numeric_ids(verified: DataFrame, id_source: DataFrame) -> DataFrame:
+    """Map int64 pair ids back to string image_ids (canonical order).
 
-    The id dimension is tiny relative to the hit relation (one row per
-    image), so Catalyst broadcasts it at bench scale; at cluster scale
-    it is a shuffle join on the long key."""
-    ids = images.select(F.col("image_id"),
-                        F.xxhash64("image_id").alias("_iid"))
+    `id_source` is any relation carrying image_id (one row per image) —
+    preferably the signatures table, whose minted `iid` column IS the id
+    map; a plain images relation falls back to xxhash64. The id
+    dimension is tiny relative to the hit relation, so Catalyst
+    broadcasts it at bench scale; at cluster scale it is a shuffle join
+    on the long key."""
+    ids = id_source.select(
+        F.col("image_id"),
+        (F.col("iid") if "iid" in id_source.columns
+         else F.xxhash64("image_id")).alias("_iid"))
     out = (verified
            .join(ids.select(F.col("_iid").alias("id_a"),
                             F.col("image_id").alias("_sa")), "id_a")

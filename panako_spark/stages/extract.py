@@ -43,6 +43,7 @@ from panako_spark.kernels.suffix import fingerprints_batch
 
 EXTRACT_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
+    T.StructField("iid", T.LongType()),
     T.StructField("w", T.IntegerType()),
     T.StructField("h", T.IntegerType()),
     T.StructField("phash", T.LongType()),
@@ -82,8 +83,8 @@ def make_extract_fn(cfg: PanakoConfig):
             t0 = time.monotonic()
             n = len(batch)
             out: dict[str, list] = {k: [] for k in (
-                "image_id", "w", "h", "phash", "n_prints", "hashes", "t1s",
-                "f1s", "psnr_ok", "err")}
+                "image_id", "iid", "w", "h", "phash", "n_prints", "hashes",
+                "t1s", "f1s", "psnr_ok", "err")}
             shingle_lists: list[np.ndarray] = []
             cap_hashes: list[int] = []
             cap_lens: list[int] = []
@@ -109,6 +110,7 @@ def make_extract_fn(cfg: PanakoConfig):
                     err = f"{type(e).__name__}: {e}"
                     psnr_ok = False
                 out["image_id"].append(row.image_id)
+                out["iid"].append(int(row.iid))
                 out["w"].append(int(row.w))
                 out["h"].append(int(row.h))
                 out["phash"].append(int(row.phash))
@@ -150,11 +152,28 @@ def make_extract_fn(cfg: PanakoConfig):
     return extract_batches
 
 
-def run_extract(images: DataFrame, cfg: PanakoConfig) -> DataFrame:
-    """images(image_id, bytes, w, h, fmt, caption, phash) -> extracted."""
-    return images.select("image_id", "bytes", "w", "h", "fmt", "caption",
-                         "phash").mapInPandas(make_extract_fn(cfg),
-                                              EXTRACT_SCHEMA)
+def run_extract(images: DataFrame, cfg: PanakoConfig,
+                iid_offset: int = 0) -> DataFrame:
+    """images(image_id, bytes, w, h, fmt, caption, phash) -> extracted.
+
+    Mints a dictionary-encoded int64 `iid` per image at ingest via
+    monotonically_increasing_id() — unique BY CONSTRUCTION (partition id
+    in the high bits, per-partition counter in the low bits), no
+    hash-collision risk at any cardinality, and zero extra shuffle: the
+    id is a projection on the scan. Downstream the verify shuffle rides
+    these 8-byte ids instead of strings (candidates.landmark_hits), and
+    the id<->string map persists in the prints/signatures checkpoints.
+    `iid_offset` shifts a later batch's ids above an existing store's
+    max iid so incremental appends stay collision-free (store_ops)."""
+    if iid_offset >= (1 << 62):
+        raise ValueError(f"iid_offset {iid_offset} too close to int64 "
+                         "overflow; compact the store's id space")
+    return (images
+            .withColumn("iid",
+                        F.monotonically_increasing_id() + F.lit(iid_offset))
+            .select("image_id", "iid", "bytes", "w", "h", "fmt", "caption",
+                    "phash")
+            .mapInPandas(make_extract_fn(cfg), EXTRACT_SCHEMA))
 
 
 def split_prints(extracted: DataFrame) -> DataFrame:
@@ -162,17 +181,21 @@ def split_prints(extracted: DataFrame) -> DataFrame:
     z = F.explode(F.arrays_zip(F.col("hashes").alias("hash"),
                                F.col("t1s").alias("t1"),
                                F.col("f1s").alias("f1"))).alias("p")
+    ids = (["image_id", "iid"] if "iid" in extracted.columns
+           else ["image_id"])  # pre-iid stores append without the column
     return (extracted.where(F.col("err").isNull())
-            .select("image_id", z)
-            .select("image_id",
+            .select(*ids, z)
+            .select(*ids,
                     F.col("p.hash").alias("hash"),
                     F.col("p.t1").alias("t1"),
                     F.col("p.f1").alias("f1")))
 
 
 def split_signatures(extracted: DataFrame) -> DataFrame:
+    ids = (["image_id", "iid"] if "iid" in extracted.columns
+           else ["image_id"])
     return extracted.select(
-        "image_id", "minhash", "mh_bands", "simhash", "sh_bands",
+        *ids, "minhash", "mh_bands", "simhash", "sh_bands",
         "caption_hash", "caption_len", "substr_fps", "n_prints", "phash",
         "psnr_ok", "err")
 
