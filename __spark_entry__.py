@@ -66,14 +66,16 @@ def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_pipeline(spark, images, store, cfg)
 
     gm = GoldenMatcher(cfg)
+    grays = {r.image_id: to_gray(r.pixels) for r in rows}
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, grays[r.image_id])
     golden_union = set(gm.dedup_pairs())
     for p in caption_pairs_golden(
             {r.image_id: r.caption for r in rows}, cfg).values():
         golden_union |= p
     golden_union |= phash_pairs_golden(
         {r.image_id: r.phash for r in rows}, cfg)
+    golden_union |= gm.tile_rescue_pairs(grays)  # crop-rescue channel
     got = {(r["id_a"], r["id_b"]) for r in
            res.dup_pairs.select("id_a", "id_b").distinct().collect()}
     missing = golden_union - got
@@ -211,14 +213,21 @@ def _lsh_neighbors_oracle(n_bits: int = 16, bands: int = 4,
 
 
 def _ivf_topk_oracle(n_cells: int = 16, n_probe: int = 8,
-                     n_queries: int = 10, k: int = 5, dim: int = 64) -> str:
+                     n_queries: int = 10, k: int = 5, dim: int = 64,
+                     n_assign: int = 2) -> str:
     """Full DuckDB replica of ivf_topk: literal centroids, argmax cell
     assignment, top-n_probe probe cells via the same struct-sort
     tie-break (score desc, cell asc), exact re-rank within probed
-    cells."""
-    from panako_spark.operators.ann import _hyperplanes
+    cells. Centroids are k-means-trained from the same deterministic
+    sample as the Spark operator (ann.train_ivf_centroids — pure
+    float64 NumPy on identical bytes), so the literals match
+    bit-exactly."""
+    from panako_spark.operators.ann import (
+        ivf_sample_duckdb, train_ivf_centroids,
+    )
 
-    cents = _hyperplanes(dim, n_cells, seed=0xCE77)
+    cents = train_ivf_centroids(
+        ivf_sample_duckdb("/root/testdata/sf0.01"), n_cells)
     lits = ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]"
         for row in cents)
@@ -237,7 +246,10 @@ def _ivf_topk_oracle(n_cells: int = 16, n_probe: int = 8,
           FROM u),
         corpus AS (
           SELECT vec_id, ue,
-                 list_position(scores, list_max(scores)) - 1 AS cell
+                 unnest(list_transform(list_slice(list_sort(
+                   list_transform(scores,
+                                  (s, i) -> {{'s': -s, 'i': i - 1}})),
+                   1, {n_assign}), x -> x.i)) AS cell
           FROM scored),
         probes AS (
           SELECT vec_id AS query_id, ue AS qe,
@@ -395,9 +407,14 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY prefix_key HAVING count(*) > 1
         """,
         "exact_dup_groups": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 25 = 0)
             SELECT md5(text) AS content_key, count(*) AS n_docs,
                    min(doc_id) AS rep_doc
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
             WITH toks AS (

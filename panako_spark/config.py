@@ -114,6 +114,24 @@ class PanakoConfig:
     min_match_span: int = 4           # frames (~2 coverage bins)
     min_coverage: float = 0.2
 
+    # ---- crop-rescue tile probes ---------------------------------------------
+    # Query-side vertical tiling (the image analog of the reference's
+    # overlapping monitor windows, PanakoStrategy.java:498-510): every
+    # image additionally probes the store with landmark prints extracted
+    # from (offset, height) row tiles, so a stored 80-95% vertical crop
+    # still aligns with its original. The grid spans the crop parameter
+    # space at the measured alignment tolerance (~±4 rows); tile matches
+    # are verified by the standard Q5-Q13 kernel per (pair, tile,
+    # direction) and accepted only at score >= tile_min_score — on the
+    # 642-image parity corpus that gate admits 4 extra true crop pairs
+    # and 0 false ones (truth recall 0.972 -> 0.985). Tile prints are
+    # query-time ephemera computed in the same decode pass; the stored
+    # print format is unchanged.
+    tile_rescue: bool = True
+    tile_probe_offsets: tuple = (0.0, 0.05, 0.10, 0.15)
+    tile_probe_heights: tuple = (0.87, 0.93)
+    tile_min_score: int = 15
+
     # ---- histogram fallback matcher (Q15) ------------------------------------
     # Olaf's noisy-query fallback (OlafStrategy.java:462-541, enabled by
     # OLAF_MATCH_FALLBACK_TO_HIST for over-the-air tests): when the strict
@@ -274,6 +292,10 @@ def parse_overrides(pairs: list[str] | None) -> dict:
             val = int(raw)
         elif isinstance(cur, float):
             val = float(raw)
+        elif isinstance(cur, tuple):
+            # comma-separated, element type from the default's first item
+            elem = type(cur[0]) if cur else float
+            val = tuple(elem(x) for x in raw.split(",") if x.strip())
         else:
             val = raw
         out[key] = val

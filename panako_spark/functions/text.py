@@ -88,8 +88,18 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's file-hash dedup mode, Deduplication.java:66-88 /
     FileUtils.getFileHash). md5 is used as the content key because the
     DuckDB oracle computes the identical digest; at scale the groupBy is
-    a plain hash-agg with map-side partials."""
-    return (_docs(spark, sf_dir)
+    a plain hash-agg with map-side partials.
+
+    The synthetic documents table contains no exact duplicates, which
+    made the oracle check vacuous (0 rows on both sides). The query
+    therefore PLANTS deterministic duplicates inline — every 25th doc is
+    cloned under doc_id + 10^7 — so the comparison exercises non-empty
+    groups; the DuckDB oracle plants the identical rows."""
+    d = _docs(spark, sf_dir)
+    planted = (d.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       "text"))
+    return (d.select("doc_id", "text").unionByName(planted)
             .select("doc_id", F.md5(F.col("text")).alias("content_key"))
             .groupBy("content_key")
             .agg(F.count("*").alias("n_docs"),

@@ -70,10 +70,54 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
         return False
 
 
+class IcebergWriter:
+    """Every Iceberg DDL/DML call-shape behind one seam.
+
+    No Iceberg jar resolves in the offline sandbox, so the commit path
+    can't be integration-tested here; this seam makes the exact call
+    SEQUENCES (createOrReplace vs append vs create-on-first-append,
+    DELETE/DROP SQL text) assertable by injecting a recording fake
+    (tests/test_iceberg_seam.py), and a skipif-gated integration test
+    runs the real thing where the runtime jar exists. Reference analog:
+    the KV storage engine is the reference's most-exercised code
+    (PanakoStorageKV.java:123-228)."""
+
+    def create_namespace(self, spark: SparkSession, catalog: str,
+                         namespace: str) -> None:
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def create_or_replace(self, df: DataFrame, name: str,
+                          partition_by: list[str] | None = None) -> None:
+        wt = df.writeTo(name).using("iceberg")
+        if partition_by:
+            from pyspark.sql.functions import col
+            wt = wt.partitionedBy(*[col(c) for c in partition_by])
+        wt.createOrReplace()   # one atomic Iceberg snapshot commit
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.writeTo(name).append()
+
+    def append_or_create(self, df: DataFrame, name: str) -> None:
+        try:
+            df.writeTo(name).append()
+        except Exception:
+            # first append creates the table (one extra commit, once)
+            df.writeTo(name).using("iceberg").create()
+
+    def delete_ids(self, spark: SparkSession, name: str,
+                   ids_view: str) -> None:
+        spark.sql(f"DELETE FROM {name} WHERE image_id IN "
+                  f"(SELECT image_id FROM {ids_view})")
+
+    def drop_table(self, spark: SparkSession, name: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 class CheckpointStore:
     def __init__(self, root: str, run_id: str | None = None,
                  backend: str = "auto", iceberg_catalog: str = "panako",
-                 iceberg_namespace: str | None = None):
+                 iceberg_namespace: str | None = None,
+                 iceberg_writer: IcebergWriter | None = None):
         if backend not in ("auto", "parquet", "iceberg"):
             raise ValueError(f"unknown backend {backend!r}")
         self.root = root
@@ -90,6 +134,7 @@ class CheckpointStore:
             tag = hashlib.blake2b(root.encode(), digest_size=6).hexdigest()
             leaf = re.sub(r"[^A-Za-z0-9_]", "_", root).strip("_")[-24:]
             self.iceberg_namespace = f"ns_{leaf}_{tag}"
+        self.iceberg = iceberg_writer or IcebergWriter()
         self._use_iceberg: bool | None = (
             False if backend == "parquet" else None)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
@@ -109,8 +154,8 @@ class CheckpointStore:
                     f"{self.iceberg_catalog}")
             self._use_iceberg = ok
             if ok:
-                spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
-                          f"{self.iceberg_catalog}.{self.iceberg_namespace}")
+                self.iceberg.create_namespace(
+                    spark, self.iceberg_catalog, self.iceberg_namespace)
         return self._use_iceberg
 
     def qualified_name(self, table: str) -> str:
@@ -186,11 +231,8 @@ class CheckpointStore:
         whose row format depends on it (prints/signatures).
         """
         if self._iceberg(df.sparkSession):
-            wt = df.writeTo(self.qualified_name(table)).using("iceberg")
-            if partition_by:
-                from pyspark.sql.functions import col
-                wt = wt.partitionedBy(*[col(c) for c in partition_by])
-            wt.createOrReplace()   # one atomic Iceberg snapshot commit
+            self.iceberg.create_or_replace(df, self.qualified_name(table),
+                                           partition_by)
         else:
             w = df.write.mode("overwrite")
             if partition_by:
@@ -224,12 +266,7 @@ class CheckpointStore:
         """Append lineage rows (schema LINEAGE_COLUMNS)."""
         out = df.select(*LINEAGE_COLUMNS)
         if self._iceberg(df.sparkSession):
-            name = self.qualified_name("lineage")
-            try:
-                out.writeTo(name).append()
-            except Exception:
-                # first append creates the table (one extra commit, once)
-                out.writeTo(name).using("iceberg").create()
+            self.iceberg.append_or_create(out, self.qualified_name("lineage"))
         else:
             out.write.mode("append").parquet(
                 os.path.join(self.root, "lineage"))

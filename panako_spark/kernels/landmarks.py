@@ -200,3 +200,62 @@ def extract_prints(gray: np.ndarray, cfg: PanakoConfig):
     spec = spectrogram(gray, cfg)
     t, f, m = find_peaks(spec, cfg)
     return landmarks(t, f, m, cfg)
+
+
+def tile_row_ranges(h: int, cfg: PanakoConfig) -> list[tuple[int, int]]:
+    """Vertical probe tiles (r0, r1) for the crop-rescue channel.
+
+    The query-side tiling analog of the reference's overlapping monitor
+    windows (PanakoStrategy.java:498-510, 25 s steps of 5 s): a stored
+    80-95% vertical crop only matches the original when the probed row
+    range lands within ~±4 rows / ±6 height of the crop (measured — the
+    per-frame profile rfft is boundary-sensitive), so the full image is
+    probed at a grid of (offset, height) tiles spanning the synth crop
+    parameter space (y0 in [0, 0.2h], ky in [0.8, 0.95]). Grid tuned on
+    the 642-image parity corpus: recovers 4 of 9 crop-missed truth pairs
+    with 0 new false positives at the score>=tile_min_score gate.
+    Degenerate/duplicate ranges (tiny images) are deduped; tile_id is
+    the index into this list."""
+    out: list[tuple[int, int]] = []
+    seen: set[tuple[int, int]] = set()
+    for y0f in cfg.tile_probe_offsets:
+        for hf in cfg.tile_probe_heights:
+            r0 = int(y0f * h)
+            r1 = min(h, r0 + int(hf * h))
+            if r1 - r0 < 16 or (r0, r1) in seen:
+                continue
+            seen.add((r0, r1))
+            out.append((r0, r1))
+    return out
+
+
+def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
+    """One raster pass -> (full prints, [(tile_id, hash, t1, f1), ...]).
+
+    The per-frame column profiles are computed ONCE; each tile is a
+    column slice of that matrix (spectral.column_profiles documents the
+    bit-exact equivalence with extracting the sliced image), so the
+    marginal tile cost is one small rfft + peak pick + shingling — no
+    second pass over the pixels. Tile prints are query-time ephemera
+    for the crop-rescue channel; they never enter the stored print
+    format."""
+    from panako_spark.kernels.peaks import find_peaks
+    from panako_spark.kernels.spectral import (
+        column_profiles, profiles_to_spectrogram,
+    )
+
+    profiles = column_profiles(gray, cfg)
+
+    def prints_of(prof_slice: np.ndarray):
+        spec = profiles_to_spectrogram(prof_slice, cfg)
+        t, f, m = find_peaks(spec, cfg)
+        return landmarks(t, f, m, cfg)
+
+    full = prints_of(profiles)
+    tiles = []
+    if cfg.tile_rescue:
+        for tid, (r0, r1) in enumerate(tile_row_ranges(gray.shape[0], cfg)):
+            hh, tt, ff = prints_of(profiles[:, r0:r1])
+            if hh.size:
+                tiles.append((tid, hh, tt, ff))
+    return full, tiles

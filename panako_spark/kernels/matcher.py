@@ -89,6 +89,28 @@ class GoldenMatcher:
                 pairs.add((min(qid, rid), max(qid, rid)))
         return pairs
 
+    # -- crop-rescue tile probes (query-side tiling) ---------------------------
+    def tile_rescue_pairs(self, grays: dict[str, np.ndarray]
+                          ) -> set[tuple[str, str]]:
+        """Golden sibling of the pipeline's tile channel: every image
+        probes the store with prints from vertical (offset, height) row
+        tiles (landmarks.tile_row_ranges); a tile match counts only at
+        score >= cfg.tile_min_score. Image analog of the reference's
+        overlapping monitor windows (PanakoStrategy.java:498-510)."""
+        from panako_spark.kernels.landmarks import extract_prints_with_tiles
+
+        if not self.cfg.tile_rescue:
+            return set()
+        pairs: set[tuple[str, str]] = set()
+        for qid, gray in grays.items():
+            _, tiles = extract_prints_with_tiles(gray, self.cfg)
+            for _tid, h, t1, f1 in tiles:
+                for rid, res in self.query_prints(h, t1, f1,
+                                                  avoid={qid}).items():
+                    if res.score >= self.cfg.tile_min_score:
+                        pairs.add((min(qid, rid), max(qid, rid)))
+        return pairs
+
 
 def caption_pairs_golden(captions: dict[str, str], cfg: PanakoConfig):
     """Brute-force caption channels -> dict channel -> set of sorted pairs.

@@ -70,8 +70,14 @@ def _remap_log(spec: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
     return spec[:, i0] * (1.0 - w1) + spec[:, i1] * w1
 
 
-def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
-    """(h, w) float32 luma -> (n_frames, freq_bins) float32 log-magnitude."""
+def column_profiles(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
+    """(h, w) float32 luma -> (n_frames, h) per-frame column-mean profiles.
+
+    Row y of the image maps to column y of the output independently of
+    every other row, so a vertical tile's profiles are EXACTLY
+    `column_profiles(gray, cfg)[:, r0:r1]` (bit-identical floats) — the
+    tile-rescue channel exploits this to probe many row ranges from one
+    raster pass (landmarks.extract_prints_with_tiles)."""
     h, w = gray.shape
     fw, step = cfg.frame_width, cfg.frame_step
     if w < fw:  # pad narrow images to one frame
@@ -85,11 +91,21 @@ def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
         [np.zeros((h, 1), np.float64), np.cumsum(gray, axis=1, dtype=np.float64)],
         axis=1,
     )
-    profiles = ((csum[:, starts + fw] - csum[:, starts]) / fw).T  # (n_frames, h)
+    return ((csum[:, starts + fw] - csum[:, starts]) / fw).T  # (n_frames, h)
+
+
+def profiles_to_spectrogram(profiles: np.ndarray,
+                            cfg: PanakoConfig) -> np.ndarray:
+    """(n_frames, rows) profiles -> (n_frames, freq_bins) log-magnitude."""
     profiles = _resample_rows(profiles, cfg.freq_samples)
     # remove per-frame mean (brightness invariance beyond the DC drop)
-    profiles -= profiles.mean(axis=1, keepdims=True)
+    profiles = profiles - profiles.mean(axis=1, keepdims=True)
     spec = np.abs(np.fft.rfft(profiles, axis=1))[:, 1 : cfg.freq_bins + 1]
     if cfg.log_freq:
         spec = _remap_log(spec, cfg)
     return np.log1p(spec).astype(np.float32)
+
+
+def spectrogram(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
+    """(h, w) float32 luma -> (n_frames, freq_bins) float32 log-magnitude."""
+    return profiles_to_spectrogram(column_profiles(gray, cfg), cfg)

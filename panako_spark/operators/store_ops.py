@@ -39,8 +39,8 @@ def delete_resources(spark: SparkSession, store: CheckpointStore,
         if store._iceberg(spark):
             # real row-level delete: one Iceberg DELETE commit per table
             ids_df.createOrReplaceTempView("_panako_delete_ids")
-            spark.sql(f"DELETE FROM {store.qualified_name(table)} WHERE "
-                      "image_id IN (SELECT image_id FROM _panako_delete_ids)")
+            store.iceberg.delete_ids(spark, store.qualified_name(table),
+                                     "_panako_delete_ids")
             out[table] = -1
             continue
         df = store.read(spark, table)
@@ -63,11 +63,10 @@ def clear(store: CheckpointStore, tables: list[str] | None = None,
     Pass `spark` when the store may be Iceberg-backed (DROP TABLE needs a
     session); the parquet fallback is pure filesystem."""
     names = tables or ["extracted", "prints", "signatures", "verified",
-                       "fused_pairs", "dup_pairs", "clusters"]
+                       "fused_pairs", "tile_pairs", "dup_pairs", "clusters"]
     for t in names:
         if spark is not None and store._iceberg(spark):
-            spark.sql(
-                f"DROP TABLE IF EXISTS {store.qualified_name(t)}")
+            store.iceberg.drop_table(spark, store.qualified_name(t))
         else:
             shutil.rmtree(store.path(t), ignore_errors=True)
         store.invalidate(t)
@@ -127,9 +126,9 @@ def store_incremental(spark: SparkSession, images: DataFrame,
             for df_, t in pairs:
                 name = store.qualified_name(t)
                 if have_sig:
-                    df_.writeTo(name).append()   # atomic Iceberg commit
+                    store.iceberg.append(df_, name)  # atomic Iceberg commit
                 else:
-                    df_.writeTo(name).using("iceberg").createOrReplace()
+                    store.iceberg.create_or_replace(df_, name)
         else:
             mode = "append" if have_sig else "overwrite"
             for df_, t in pairs:

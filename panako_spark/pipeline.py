@@ -29,8 +29,9 @@ from panako_spark.stages import candidates as C
 from panako_spark.stages.cluster import connected_components
 from panako_spark.stages.extract import (
     lineage_from_extracted, run_extract, split_prints, split_signatures,
+    split_tile_prints,
 )
-from panako_spark.stages.verify import run_verify
+from panako_spark.stages.verify import run_tile_verify, run_verify
 
 
 @dataclass
@@ -55,7 +56,7 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
                         store: CheckpointStore, cfg: PanakoConfig,
                         stats: dict | None = None,
                         lineage_sink: list | None = None
-                        ) -> tuple[DataFrame, DataFrame]:
+                        ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """One decode pass -> durable prints + signatures checkpoints.
 
     The extract output is NOT checkpointed: its rows carry ~600-element
@@ -68,11 +69,18 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
     vectorized parquet path) and signatures (one nested row per image).
     Resume reads the two durable tables; the ephemeral intermediate is
     recomputed only if neither is complete.
+
+    The third return value is the still-PERSISTED extract relation (None
+    on the resume path): the crop-rescue tile branch reads its tile
+    probe arrays from the same cache — one decode pass feeds everything.
+    The caller unpersists it once the tile branch is done.
     """
     if store.is_complete("prints") and store.is_complete("signatures"):
-        return store.read(spark, "prints"), store.read(spark, "signatures")
+        return (store.read(spark, "prints"),
+                store.read(spark, "signatures"), None)
     stats = stats if stats is not None else {}
     extracted = run_extract(images, cfg).persist()
+    ok = False
     try:
         t0 = time.monotonic()
         # prints carry no pre-partitioning: the landmark probe join
@@ -95,9 +103,12 @@ def materialize_extract(spark: SparkSession, images: DataFrame,
         else:
             store.append_lineage(lin)
         stats["t_lineage_s"] = round(time.monotonic() - t0, 2)
+        ok = True
     finally:
-        extracted.unpersist()
-    return store.read(spark, "prints"), store.read(spark, "signatures")
+        if not ok:
+            extracted.unpersist()
+    return (store.read(spark, "prints"), store.read(spark, "signatures"),
+            extracted)
 
 
 def corpus_census(images: DataFrame) -> tuple[int, int, int]:
@@ -133,7 +144,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
     from concurrent.futures import ThreadPoolExecutor
 
     lineage_rows: list = []
-    ex = ThreadPoolExecutor(max_workers=2)
+    extracted: DataFrame | None = None
+    ex = ThreadPoolExecutor(max_workers=3)
     try:
         # census (tiny id-only aggregate) overlaps the extract scan
         census_fut = ex.submit(corpus_census, images)
@@ -152,8 +164,10 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
 
         # ---- extract (one decode pass) -------------------------------------
         arrow_batch(cfg.arrow_batch_rows)
-        prints, signatures = timed("extract", lambda: materialize_extract(
-            spark, images, store, cfg, stats, lineage_sink=lineage_rows))
+        prints, signatures, extracted = timed(
+            "extract", lambda: materialize_extract(
+                spark, images, store, cfg, stats,
+                lineage_sink=lineage_rows))
 
         n_images, n_ids, n_hashed = census_fut.result()
         if n_images != n_ids:
@@ -200,17 +214,56 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             fused_stats_box.append(fused_stats)
             return fused.select("channel", "id_a", "id_b")
 
+        def compute_tile_pairs() -> DataFrame:
+            # crop-rescue channel: tile probe prints (query-time
+            # ephemera from the SAME decode pass, riding the extract
+            # cache) ±range the stored prints; verify per (pair, tile,
+            # direction); accept at score >= tile_min_score. Golden
+            # sibling: GoldenMatcher.tile_rescue_pairs.
+            if not cfg.tile_rescue:
+                return spark.createDataFrame([], "id_a string, id_b string")
+            if extracted is not None:
+                tp = split_tile_prints(extracted)
+            else:
+                # resumed run whose tile_pairs checkpoint is missing:
+                # one re-decode pass (the documented resume trade — tile
+                # prints are never persisted). Freshly minted iids are
+                # NOT the store's ids; remap through the persisted
+                # signatures id map.
+                ext2 = run_extract(images, cfg)
+                sig_ids = signatures.select(
+                    "image_id",
+                    (F.col("iid") if "iid" in signatures.columns
+                     else F.xxhash64("image_id")).alias("iid"))
+                tp = (split_tile_prints(ext2).drop("iid")
+                      .join(sig_ids, "image_id"))
+            tv = run_tile_verify(C.tile_hits(tp, prints, cfg,
+                                             n_images=n_ids), cfg)
+            directed = (tv.where(F.col("score") >= cfg.tile_min_score)
+                        .select(F.least("id_q", "id_r").alias("id_a"),
+                                F.greatest("id_q", "id_r").alias("id_b"))
+                        .distinct())
+            return C.resolve_numeric_ids(directed, signatures)
+
         fut_v = ex.submit(lambda: timed("verify", lambda: (
             store.read_or_compute(spark, "verified", compute_verified))))
         fut_f = ex.submit(lambda: timed("pairs", lambda: (
             store.read_or_compute(spark, "fused_pairs", compute_fused))))
+        fut_t = ex.submit(lambda: timed("tiles", lambda: (
+            store.read_or_compute(spark, "tile_pairs", compute_tile_pairs))))
         verified = fut_v.result()
         fused_pairs = fut_f.result()
+        tile_pairs = fut_t.result()
+        if extracted is not None:
+            extracted.unpersist()
+            extracted = None
 
         dup_pairs = (verified
                      .select(F.lit("landmark").alias("channel"),
                              "id_a", "id_b")
                      .unionByName(fused_pairs)
+                     .unionByName(tile_pairs.select(
+                         F.lit("tile").alias("channel"), "id_a", "id_b"))
                      .select("id_a", "id_b", "channel"))
 
         if fused_stats_box:
@@ -245,6 +298,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                        "signature_count long, band_count long, "
                        "elapsed_ms long, run_id string"))
     finally:
+        if extracted is not None:
+            extracted.unpersist()
         ex.shutdown(wait=False)
 
     stats["elapsed_s"] = time.monotonic() - t_start

@@ -95,6 +95,21 @@ def pairs_from_keys(keyed: DataFrame, cap: int,
 
 
 # --------------------------------------------------------------- landmark ---
+def hot_hash_set(prints: DataFrame, cfg: PanakoConfig,
+                 n_images: int | None = None) -> DataFrame | None:
+    """Stop-word hashes (> effective_hash_max_images distinct images), or
+    None when the cap is disabled. Shared by the landmark self-join and
+    the tile-probe channel so both apply the identical rule the golden
+    matcher uses."""
+    cap = cfg.effective_hash_max_images(n_images)
+    if cap <= 0:
+        return None
+    return (prints.groupBy("hash")
+            .agg(F.countDistinct("image_id").alias("_imgs"))
+            .where(F.col("_imgs") > cap)
+            .select("hash"))
+
+
 def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig,
                     n_images: int | None = None) -> DataFrame:
     """Drop stop-word hashes present in > effective_hash_max_images images.
@@ -104,13 +119,9 @@ def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig,
     noise amplifiers. The cap is corpus-size-aware (config.py) so large
     real-world content clusters don't silently lose the landmark channel.
     """
-    cap = cfg.effective_hash_max_images(n_images)
-    if cap <= 0:
+    hot = hot_hash_set(prints, cfg, n_images)
+    if hot is None:
         return prints
-    hot = (prints.groupBy("hash")
-           .agg(F.countDistinct("image_id").alias("_imgs"))
-           .where(F.col("_imgs") > cap)
-           .select("hash"))
     return prints.join(hot, "hash", "left_anti")
 
 
@@ -152,6 +163,46 @@ def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
     return (probe.join(ref, "probe_hash")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
+
+
+def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
+              n_images: int | None = None) -> DataFrame:
+    """Crop-rescue channel: tile probe prints (query side) ±query_range
+    against the stored prints — DIRECTED hits per (query image, stored
+    image, tile).
+
+    Mirrors GoldenMatcher.query_prints exactly: a query print whose RAW
+    hash is a stop-word is skipped entirely (anti-join on the raw hash),
+    hot store hashes never match (store-side anti-join), and self pairs
+    drop via id inequality (Q2 with avoid={self}). Verification happens
+    per (pair, tile, direction) downstream (verify.run_tile_verify) with
+    the standard Q5-Q13 kernel — the reference analog is one monitor
+    window's query (PanakoStrategy.java:498-510).
+
+    Scale shape: identical to landmark_hits — one explode + equi-join on
+    the probe hash, int64 ids, no new shuffle kinds; the tile rows are a
+    bounded constant factor (~|tile grid|) on the landmark channel's
+    query volume."""
+    hot = hot_hash_set(prints, cfg, n_images=n_images)
+    store = prints if hot is None else prints.join(hot, "hash", "left_anti")
+    q = (tile_prints if hot is None
+         else tile_prints.join(hot, "hash", "left_anti"))
+    sid = (F.col("iid") if "iid" in prints.columns
+           else F.xxhash64("image_id"))
+    qid = (F.col("iid") if "iid" in tile_prints.columns
+           else F.xxhash64("image_id"))
+    r = cfg.query_range
+    probe = q.select(
+        qid.alias("id_q"), "tile_id",
+        F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
+        F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
+        .alias("probe_hash"))
+    ref = store.select(sid.alias("id_r"),
+                       F.col("hash").alias("probe_hash"),
+                       F.col("t1").alias("r_t"), F.col("f1").alias("r_f"))
+    return (probe.join(ref, "probe_hash")
+            .where(F.col("id_q") != F.col("id_r"))
+            .select("id_q", "id_r", "tile_id", "q_t", "q_f", "r_t", "r_f"))
 
 
 def resolve_numeric_ids(verified: DataFrame, id_source: DataFrame) -> DataFrame:

@@ -34,7 +34,9 @@ import pyspark.sql.types as T
 
 from panako_spark.config import PanakoConfig
 from panako_spark.kernels import codec
-from panako_spark.kernels.landmarks import extract_prints
+from panako_spark.kernels.landmarks import (
+    extract_prints_with_tiles,
+)
 from panako_spark.kernels.minhash import (
     band_keys, hash_shingles, minhash_signature_batch, token_shingles,
 )
@@ -58,6 +60,13 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("caption_hash", T.LongType()),
     T.StructField("caption_len", T.IntegerType()),
     T.StructField("substr_fps", T.ArrayType(T.LongType())),
+    # crop-rescue tile probes (query-time ephemera, flat-concatenated
+    # across tiles with tile_ids marking membership; never checkpointed
+    # as part of the stored print format)
+    T.StructField("tile_hashes", T.ArrayType(T.LongType())),
+    T.StructField("tile_t1s", T.ArrayType(T.IntegerType())),
+    T.StructField("tile_f1s", T.ArrayType(T.IntegerType())),
+    T.StructField("tile_ids", T.ArrayType(T.IntegerType())),
     T.StructField("psnr_ok", T.BooleanType()),
     T.StructField("err", T.StringType()),
     T.StructField("_pid", T.IntegerType()),
@@ -84,7 +93,8 @@ def make_extract_fn(cfg: PanakoConfig):
             n = len(batch)
             out: dict[str, list] = {k: [] for k in (
                 "image_id", "iid", "w", "h", "phash", "n_prints", "hashes",
-                "t1s", "f1s", "psnr_ok", "err")}
+                "t1s", "f1s", "tile_hashes", "tile_t1s", "tile_f1s",
+                "tile_ids", "psnr_ok", "err")}
             shingle_lists: list[np.ndarray] = []
             cap_hashes: list[int] = []
             cap_lens: list[int] = []
@@ -95,6 +105,7 @@ def make_extract_fn(cfg: PanakoConfig):
                 hh = np.zeros(0, np.int64)
                 tt = np.zeros(0, np.int32)
                 ff = np.zeros(0, np.int32)
+                tiles: list = []
                 try:
                     img = codec.decode(bytes(row.bytes), int(row.w),
                                        int(row.h), row.fmt)
@@ -103,7 +114,10 @@ def make_extract_fn(cfg: PanakoConfig):
                     rt = codec.decode(codec.encode(img, row.fmt, level=1),
                                       int(row.w), int(row.h), row.fmt)
                     psnr_ok = codec.psnr(img, rt) >= 40.0
-                    hh, tt, ff = extract_prints(codec.to_gray(img), cfg)
+                    # one raster pass yields the stored prints AND the
+                    # crop-rescue tile probes (profiles shared)
+                    (hh, tt, ff), tiles = extract_prints_with_tiles(
+                        codec.to_gray(img), cfg)
                 except Exception as e:  # noqa: BLE001 — one corrupt row
                     # must never kill a 10^12-row job; the err column and
                     # lineage carry the failure
@@ -118,6 +132,20 @@ def make_extract_fn(cfg: PanakoConfig):
                 out["hashes"].append(hh)
                 out["t1s"].append(tt)
                 out["f1s"].append(ff)
+                if tiles:
+                    out["tile_hashes"].append(
+                        np.concatenate([t[1] for t in tiles]))
+                    out["tile_t1s"].append(
+                        np.concatenate([t[2] for t in tiles]))
+                    out["tile_f1s"].append(
+                        np.concatenate([t[3] for t in tiles]))
+                    out["tile_ids"].append(np.concatenate(
+                        [np.full(t[1].size, t[0], np.int32) for t in tiles]))
+                else:
+                    out["tile_hashes"].append(np.zeros(0, np.int64))
+                    out["tile_t1s"].append(np.zeros(0, np.int32))
+                    out["tile_f1s"].append(np.zeros(0, np.int32))
+                    out["tile_ids"].append(np.zeros(0, np.int32))
                 out["psnr_ok"].append(bool(psnr_ok))
                 out["err"].append(err)
                 cap = row.caption or ""
@@ -186,6 +214,27 @@ def split_prints(extracted: DataFrame) -> DataFrame:
     return (extracted.where(F.col("err").isNull())
             .select(*ids, z)
             .select(*ids,
+                    F.col("p.hash").alias("hash"),
+                    F.col("p.t1").alias("t1"),
+                    F.col("p.f1").alias("f1")))
+
+
+def split_tile_prints(extracted: DataFrame) -> DataFrame:
+    """Extracted -> tile_prints(image_id[, iid], tile_id, hash, t1, f1).
+
+    Query-side rows for the crop-rescue channel (JVM-side explode of the
+    flat-concatenated tile arrays); never persisted — the stored print
+    format is unchanged."""
+    z = F.explode(F.arrays_zip(F.col("tile_hashes").alias("hash"),
+                               F.col("tile_t1s").alias("t1"),
+                               F.col("tile_f1s").alias("f1"),
+                               F.col("tile_ids").alias("tile_id"))).alias("p")
+    ids = (["image_id", "iid"] if "iid" in extracted.columns
+           else ["image_id"])
+    return (extracted.where(F.col("err").isNull())
+            .select(*ids, z)
+            .select(*ids,
+                    F.col("p.tile_id").alias("tile_id"),
                     F.col("p.hash").alias("hash"),
                     F.col("p.t1").alias("t1"),
                     F.col("p.f1").alias("f1")))

@@ -140,6 +140,108 @@ def make_verify_batches(cfg: PanakoConfig, numeric_ids: bool = False):
     return verify_batches
 
 
+def _segments3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Start offsets of contiguous (a, b, c) runs, plus the end offset."""
+    n = a.size
+    if n == 0:
+        return np.zeros(1, np.int64)
+    change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                            | (c[1:] != c[:-1])) + 1
+    return np.concatenate(([0], change, [n]))
+
+
+TILE_VERIFIED_SCHEMA = T.StructType([
+    T.StructField("id_q", T.LongType()),
+    T.StructField("id_r", T.LongType()),
+    T.StructField("tile_id", T.IntegerType()),
+    T.StructField("score", T.IntegerType()),
+])
+
+_TILE_KEYS = ("id_q", "id_r", "tile_id", "q_t", "q_f", "r_t", "r_f")
+
+
+def make_tile_verify_batches(cfg: PanakoConfig):
+    """Q5-Q13 kernel for the crop-rescue channel: one verify per
+    (query image, stored image, tile) run, SINGLE orientation (the tile
+    prints are the query side, exactly like GoldenMatcher.query_prints).
+    Same per-batch streaming + trailing-run carry as make_verify_batches."""
+    min_hits = cfg.min_unfiltered_hits
+
+    def _emit(rows: list) -> pd.DataFrame:
+        if not rows:
+            return pd.DataFrame({
+                "id_q": pd.Series([], dtype="int64"),
+                "id_r": pd.Series([], dtype="int64"),
+                "tile_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype="int32")})
+        cols = list(zip(*rows))
+        return pd.DataFrame({k: c for k, c in zip(
+            ("id_q", "id_r", "tile_id", "score"), cols)})
+
+    def _run(cols: dict, lo: int, hi: int, rows: list) -> None:
+        ids_q = cols["id_q"][lo:hi]
+        ids_r = cols["id_r"][lo:hi]
+        tids = cols["tile_id"][lo:hi]
+        q_t = cols["q_t"][lo:hi].astype(np.int64, copy=False)
+        q_f = cols["q_f"][lo:hi].astype(np.int64, copy=False)
+        r_t = cols["r_t"][lo:hi].astype(np.int64, copy=False)
+        r_f = cols["r_f"][lo:hi].astype(np.int64, copy=False)
+        bounds = _segments3(ids_q, ids_r, tids)
+        lens = np.diff(bounds)
+        for si in np.flatnonzero(lens >= min_hits):
+            lo2, hi2 = bounds[si], bounds[si + 1]
+            res = verify_pair(q_t[lo2:hi2], q_f[lo2:hi2],
+                              r_t[lo2:hi2], r_f[lo2:hi2], cfg)
+            if res is not None:
+                rows.append((ids_q[lo2], ids_r[lo2], tids[lo2], res.score))
+
+    def tile_verify_batches(it: Iterator[pd.DataFrame]
+                            ) -> Iterator[pd.DataFrame]:
+        carry: dict[str, np.ndarray] | None = None
+        rows: list = []
+        for batch in it:
+            cols = {k: batch[k].to_numpy() for k in _TILE_KEYS}
+            if carry is not None and carry["id_q"].size:
+                cols = {k: np.concatenate([carry[k], cols[k]])
+                        for k in _TILE_KEYS}
+            n = cols["id_q"].size
+            if n == 0:
+                continue
+            bounds = _segments3(cols["id_q"], cols["id_r"], cols["tile_id"])
+            cut = int(bounds[-2]) if bounds.size >= 2 else 0
+            carry = {k: v[cut:] for k, v in cols.items()}
+            if cut:
+                _run(cols, 0, cut, rows)
+        if carry is not None and carry["id_q"].size:
+            _run(carry, 0, carry["id_q"].size, rows)
+        yield _emit(rows)
+
+    return tile_verify_batches
+
+
+def run_tile_verify(hits: DataFrame, cfg: PanakoConfig,
+                    partitions: int | None = None) -> DataFrame:
+    """tile hits(id_q, id_r, tile_id, q_t, q_f, r_t, r_f) -> directed
+    (id_q, id_r, tile_id, score).
+
+    Same plan shape as run_verify: ONE hash exchange on the directed
+    pair key (tile_id rides inside the pair's partition), the Q5 min-hits
+    gate JVM-side over the exchange's own sort, then the NumPy kernel
+    per contiguous (pair, tile) run. The caller gates on
+    score >= cfg.tile_min_score and canonicalizes pair order."""
+    from pyspark.sql import Window
+
+    n = partitions or cfg.shuffle_partitions
+    w = Window.partitionBy("id_q", "id_r", "tile_id")
+    gated = (hits.repartition(n, "id_q", "id_r")
+             .withColumn("_n", F.count("*").over(w))
+             .where(F.col("_n") >= cfg.min_unfiltered_hits)
+             .drop("_n")
+             .sortWithinPartitions("id_q", "id_r", "tile_id"))
+    return gated.mapInPandas(make_tile_verify_batches(cfg),
+                             TILE_VERIFIED_SCHEMA)
+
+
 def run_verify(hits: DataFrame, cfg: PanakoConfig,
                partitions: int | None = None,
                numeric_ids: bool = False) -> DataFrame:

@@ -416,3 +416,46 @@ def test_config_overrides_round_trip():
         config_with_overrides(["fallback_to_hist=maybe"])
     with pytest.raises(ValueError, match="KEY=value"):
         config_with_overrides(["query_range"])
+
+
+def test_tile_prints_bit_exact_vs_sliced_image(cfg):
+    """Crop-rescue tiles: extract_prints_with_tiles must equal extracting
+    each sliced image directly — the profile-slice fast path
+    (spectral.column_profiles) is bit-exact by row independence, and the
+    full-image prints are unchanged."""
+    import numpy as np
+
+    from panako_spark.data import synth
+    from panako_spark.kernels.codec import to_gray
+    from panako_spark.kernels.landmarks import (
+        extract_prints, extract_prints_with_tiles, tile_row_ranges,
+    )
+
+    rows, _ = synth.generate_corpus(6, dup_fraction=0.4, seed=13)
+    for r in rows:
+        g = to_gray(r.pixels)
+        (fh, ft, ff), tiles = extract_prints_with_tiles(g, cfg)
+        dh, dt, df = extract_prints(g, cfg)
+        assert np.array_equal(fh, dh)
+        assert np.array_equal(ft, dt)
+        assert np.array_equal(ff, df)
+        tmap = {tid: (hh, tt, fff) for tid, hh, tt, fff in tiles}
+        for tid, (r0, r1) in enumerate(tile_row_ranges(g.shape[0], cfg)):
+            eh, et, ef = extract_prints(g[r0:r1, :], cfg)
+            if tid not in tmap:
+                assert eh.size == 0
+                continue
+            hh, tt, fff = tmap[tid]
+            assert np.array_equal(hh, eh)
+            assert np.array_equal(tt, et)
+            assert np.array_equal(fff, ef)
+
+
+def test_tile_row_ranges_dedup_and_bounds(cfg):
+    from panako_spark.kernels.landmarks import tile_row_ranges
+
+    for h in (16, 20, 64, 240, 400):
+        ranges = tile_row_ranges(h, cfg)
+        assert len(ranges) == len(set(ranges))
+        for r0, r1 in ranges:
+            assert 0 <= r0 < r1 <= h and r1 - r0 >= 16

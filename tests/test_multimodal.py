@@ -130,3 +130,33 @@ def test_ffmpeg_pipe_roundtrip_if_available():
     png = codec.encode(img, "png")
     via_pipe = codec.decode_via_ffmpeg(png, 12, 16)
     assert np.array_equal(via_pipe, img)
+
+
+def test_ffmpeg_persistent_stream_if_available():
+    """Integration: the long-lived stream decoder must decode several
+    sequential frames from ONE process, match the native decoder
+    pixel-exactly, and recover (restart + one-shot fallback) after a
+    poisoned payload. Skips where no ffmpeg binary exists."""
+    import numpy as np
+    import pytest
+
+    from panako_spark.kernels import codec
+
+    if not _have_ffmpeg():
+        pytest.skip("no ffmpeg in this environment")
+    dec = codec.FFmpegStreamDecoder.get("png")
+    assert dec is not None
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 255, size=(10 + i, 8, 3), dtype=np.uint8)
+            for i in range(4)]
+    pngs = [codec.encode(im, "png") for im in imgs]
+    out = [dec.decode(p, 8, 10 + i) for i, p in enumerate(pngs)]
+    pid = dec._proc.pid
+    for im, o in zip(imgs, out):
+        assert np.array_equal(im, o)
+    assert dec._proc.pid == pid  # same process served every frame
+    # poisoned payload: stream restarts, seam falls back one-shot
+    with pytest.raises(Exception):
+        dec.decode(b"not a png at all", 8, 10)
+    ok = codec.decode_via_ffmpeg(pngs[0], 8, 10, fmt="png")
+    assert np.array_equal(ok, imgs[0])

@@ -40,10 +40,12 @@ def corpus_m():
 
 @pytest.fixture(scope="module")
 def golden_union_m(corpus_m, cfg):
+    """(union incl. the crop-rescue tile channel, tile pairs alone)."""
     rows, _ = corpus_m
     gm = GoldenMatcher(cfg)
+    grays = {r.image_id: to_gray(r.pixels) for r in rows}
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, grays[r.image_id])
     union = set(gm.dedup_pairs())
     caption = caption_pairs_golden({r.image_id: r.caption for r in rows},
                                    cfg)
@@ -51,7 +53,8 @@ def golden_union_m(corpus_m, cfg):
         {r.image_id: r.phash for r in rows}, cfg)
     for p in caption.values():
         union |= p
-    return union
+    tiles = gm.tile_rescue_pairs(grays)
+    return union | tiles, tiles
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +72,7 @@ def pipeline_pairs_m(corpus_m, cfg, spark, tmp_path_factory):
 
 def test_union_parity_at_scale(pipeline_pairs_m, golden_union_m):
     pairs, _ = pipeline_pairs_m
-    golden = golden_union_m
+    golden, _ = golden_union_m
     assert golden, "golden matcher found no dup pairs — corpus broken"
     recall = len(pairs & golden) / len(golden)
     assert recall >= 0.99, (
@@ -77,17 +80,30 @@ def test_union_parity_at_scale(pipeline_pairs_m, golden_union_m):
 
 
 def test_truth_recall_at_scale(pipeline_pairs_m, corpus_m):
-    """Ground-truth quality (not the parity criterion). With the
-    log-frequency axis plus the caption MinHash threshold at est>=0.40
-    (band-gated; config.py documents the measured FP guard: 0 of ~20k
-    random pairs pass), pairwise truth recall on this corpus is 0.972 —
-    the residual misses are 80-95% crops whose caption lost >60% of its
-    shingles (exact J<=0.38), where neither content nor caption carries
-    recoverable signal."""
+    """Ground-truth quality (not the parity criterion). The log-frequency
+    axis + caption MinHash at est>=0.39 reach 0.972; the crop-rescue
+    tile channel (query-side vertical tiling, landmarks.tile_row_ranges)
+    recovers 4 of the 9 residual crop misses -> 0.9846. The remaining
+    misses are crop_subst pairs on tiny images (too few prints to clear
+    the Q5 gate at any tile) whose captions lost >60% of their shingles
+    — no channel carries recoverable signal."""
     pairs, clique = pipeline_pairs_m[0], corpus_m[1]
     recall = len(pairs & clique) / len(clique)
-    assert recall >= 0.97, (
+    assert recall >= 0.98, (
         f"ground-truth pair recall {recall:.4f} over {len(clique)}")
+
+
+def test_tile_channel_precision_guard(pipeline_pairs_m, golden_union_m,
+                                      corpus_m):
+    """The tile pass must ADD no out-of-clique pair: every golden tile
+    pair outside ground truth must already be found by another channel
+    (measured: zero such pairs at score>=tile_min_score), and the
+    pipeline's tile channel must not exceed the golden tile set by more
+    than hash-collision noise."""
+    union, tiles = golden_union_m
+    _, clique = corpus_m
+    new_fp = (tiles - clique) - (union - tiles)
+    assert not new_fp, f"tile channel added false pairs: {sorted(new_fp)}"
 
 
 def test_truth_cluster_recall_at_scale(pipeline_pairs_m, corpus_m):

@@ -159,3 +159,18 @@ def test_olaf_strategy_spark_golden_parity(spark, cfg, tmp_path):
                       .where("channel = 'landmark'").collect()}
     missing = golden_pairs - spark_landmark
     assert len(missing) / max(1, len(golden_pairs)) <= 0.01, missing
+
+
+def test_parity_tile_channel(pipeline_result, corpus, cfg):
+    """Crop-rescue tile channel: Spark == golden EXACTLY — the hit
+    enumeration, hot-hash rule, Q5-Q13 kernel, and score gate are all
+    deterministic and identical on both sides."""
+    _, pairs, _, _, _ = pipeline_result
+    rows, _ = corpus
+    gm = GoldenMatcher(cfg)
+    grays = {r.image_id: to_gray(r.pixels) for r in rows}
+    for i, g in grays.items():
+        gm.store_image(i, g)
+    golden_tiles = gm.tile_rescue_pairs(grays)
+    spark_tiles = {(a, b) for a, b, ch in pairs if ch == "tile"}
+    assert spark_tiles == golden_tiles

@@ -108,11 +108,27 @@ def _steal_probe(procs: int = 8, seconds: float = 6.0) -> float:
     return 100.0 * (s1 - s0) / max(1, b1 - b0)
 
 
+FOREGROUND_LOCK = "/tmp/panako_foreground.lock"
+SCALING_BUSY = "/tmp/panako_scaling_busy"
+
+
 def wait_for_quiet(threshold: float, max_wait_s: float = 600.0) -> float:
     """Block until a steal probe comes in under threshold (or the wait
     budget runs out); returns the last probe reading. Scheduling runs
-    into quiet windows beats re-running contaminated pairs."""
+    into quiet windows beats re-running contaminated pairs.
+
+    Also honors a cooperative same-VM lock: while FOREGROUND_LOCK
+    exists (another job on this VM wants the cores — e.g. a test run),
+    no new pair starts; while a pair is in flight SCALING_BUSY is
+    published so the other side can wait symmetrically. Same-VM
+    contention is invisible to the hypervisor-steal probe, so it needs
+    its own channel."""
     t0 = time.monotonic()
+    while os.path.exists(FOREGROUND_LOCK):
+        print("    foreground lock held — waiting", flush=True)
+        time.sleep(30)
+        if time.monotonic() - t0 > 4 * max_wait_s:
+            break
     while True:
         steal = _steal_probe()
         if steal <= threshold or time.monotonic() - t0 > max_wait_s:
@@ -122,13 +138,35 @@ def wait_for_quiet(threshold: float, max_wait_s: float = 600.0) -> float:
         time.sleep(45)
 
 
-def run_level(cpus: int, n_base: int, mode: str) -> dict:
+RUNS_JSONL = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+
+
+def run_level(cpus: int, n_base: int, mode: str) -> dict | None:
+    """One bench run at one parallelism level; None on subprocess failure
+    (a crashed run must cost one pair, never the whole hunt's data —
+    learned the hard way when a mid-hunt OOM at 69.7k images killed
+    3.5 h of in-memory pair records). Every successful run row is ALSO
+    appended to BENCH/scaling_runs.jsonl immediately.
+
+    The driver heap is pinned to 48g (vs bench.py's 16g default): the
+    VM has 128 GiB; at 69.7k images the extract persist + concurrent
+    branch shuffles exceed a 16g unified region only when 8 tasks run
+    at once — a memory ceiling that throttles the 4N level but not N
+    would masquerade as poor scaling. Same value at both levels keeps
+    the comparison fair."""
     s0, b0, t0 = _cpu_counters()
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
-         "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode],
-        capture_output=True, text=True, timeout=3600, check=True,
-        cwd=REPO)
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
+             "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode],
+            capture_output=True, text=True, timeout=5400, check=True,
+            cwd=REPO, env=env)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+        err = (e.stderr or "")[-3000:] if hasattr(e, "stderr") else ""
+        print(f"    RUN FAILED local[{cpus}] {mode}: {type(e).__name__}\n"
+              f"    stderr tail: {err}", flush=True)
+        return None
     s1, b1, t1 = _cpu_counters()
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -138,9 +176,15 @@ def run_level(cpus: int, n_base: int, mode: str) -> dict:
                 100.0 * (s1 - s0) / max(1, b1 - b0), 2)  # busy-relative
             r["steal_pct_aggregate"] = round(
                 100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+            r["mode"], r["level"] = mode, cpus
+            os.makedirs(os.path.dirname(RUNS_JSONL), exist_ok=True)
+            with open(RUNS_JSONL, "a") as f:
+                f.write(json.dumps(r) + "\n")
             return r
-    raise RuntimeError(f"no JSON line in bench output:\n{out.stdout[-2000:]}"
-                       f"\n{out.stderr[-2000:]}")
+    print(f"    RUN FAILED local[{cpus}] {mode}: no JSON line\n"
+          f"    stdout tail: {out.stdout[-1000:]}\n"
+          f"    stderr tail: {out.stderr[-2000:]}", flush=True)
+    return None
 
 
 def main() -> None:
@@ -202,19 +246,36 @@ def main() -> None:
             order = levels if pair % 2 == 0 else levels[::-1]
             pair_rec: dict = {"pair": pair, "hw_ratio": hw_pair["ratio"],
                               "probe_steal": probe, "order": list(order)}
-            for cpus in order:  # alternate order pair-to-pair
-                r = run_level(cpus, n_bases[mode], mode)
-                r["pair"] = pair
-                runs[mode][cpus].append(r)
-                pair_rec[f"thr_{cpus}"] = r["images_per_sec"]
-                pair_rec[f"steal_{cpus}"] = r["steal_pct"]
-                clean = r["steal_pct"] <= args.steal_threshold
-                print(f"[{mode}] pair{pair} local[{cpus}]: "
-                      f"{r['images_per_sec']} images/s "
-                      f"({r['queries'][key]} s, {r['n_images']} images, "
-                      f"steal {r['steal_pct']}%"
-                      f"{'' if clean else ' CONTAMINATED'})",
+            failed = False
+            with open(SCALING_BUSY, "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                for cpus in order:  # alternate order pair-to-pair
+                    r = run_level(cpus, n_bases[mode], mode)
+                    if r is None:  # crashed run: forfeit the pair only
+                        failed = True
+                        break
+                    r["pair"] = pair
+                    runs[mode][cpus].append(r)
+                    pair_rec[f"thr_{cpus}"] = r["images_per_sec"]
+                    pair_rec[f"steal_{cpus}"] = r["steal_pct"]
+                    clean = r["steal_pct"] <= args.steal_threshold
+                    print(f"[{mode}] pair{pair} local[{cpus}]: "
+                          f"{r['images_per_sec']} images/s "
+                          f"({r['queries'][key]} s, {r['n_images']} images, "
+                          f"steal {r['steal_pct']}%"
+                          f"{'' if clean else ' CONTAMINATED'})",
+                          flush=True)
+            finally:
+                try:
+                    os.remove(SCALING_BUSY)
+                except OSError:
+                    pass
+            if failed:
+                print(f"[{mode}] pair{pair} forfeited (run failure)",
                       flush=True)
+                pair += 1
+                continue
             sp = pair_rec[f"thr_{levels[1]}"] / pair_rec[f"thr_{levels[0]}"]
             pair_rec["speedup"] = sp
             pair_rec["eff_raw"] = sp / 4.0
