@@ -130,7 +130,15 @@ class PanakoConfig:
     tile_rescue: bool = True
     tile_probe_offsets: tuple = (0.0, 0.05, 0.10, 0.15)
     tile_probe_heights: tuple = (0.87, 0.93)
-    tile_min_score: int = 15
+    # Tile probes match EXACT hashes (range 0), unlike the landmark
+    # channel's ±query_range: an aligned tile is computed from the same
+    # pixel content as the stored crop, so its hashes agree exactly —
+    # measured on the 642-image corpus, range 0 keeps all 4 rescued
+    # crop pairs (scores 15/17/26/65) with 0 false positives at any
+    # gate >= 10, while range 2 costs 5x the probe join volume for
+    # identical recall. Gate 12 leaves margin under the lowest TP.
+    tile_query_range: int = 0
+    tile_min_score: int = 12
 
     # ---- histogram fallback matcher (Q15) ------------------------------------
     # Olaf's noisy-query fallback (OlafStrategy.java:462-541, enabled by

@@ -43,12 +43,14 @@ class GoldenMatcher:
         for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
             self._index[hh].append((image_id, tt, ff))
 
-    def _hot_hashes(self) -> set[int]:
-        """Stop-word hashes (> hash_max_images distinct images) — the same
-        rule the Spark candidates stage applies (candidates.hot_hash_filter),
-        so golden/pipeline parity holds at any scale. Memoized per index
-        size."""
-        cap = self.cfg.effective_hash_max_images(len(self._prints))
+    def _hot_hashes(self, cap: int | None = None) -> set[int]:
+        """Stop-word hashes (> cap distinct images; default cap = the
+        corpus-aware effective_hash_max_images) — the same rule the Spark
+        candidates stage applies (candidates.hot_hash_set), so
+        golden/pipeline parity holds at any scale. Memoized per
+        (cap, index size)."""
+        if cap is None:
+            cap = self.cfg.effective_hash_max_images(len(self._prints))
         if cap <= 0:
             return set()
         key = (cap, len(self._prints))
@@ -59,14 +61,18 @@ class GoldenMatcher:
         return self._hot_cache
 
     # -- query (entry point B) ------------------------------------------------
-    def query_prints(self, h, t1, f1, avoid: set[str]) -> dict[str, MatchResult]:
+    def query_prints(self, h, t1, f1, avoid: set[str],
+                     hot_cap: int | None = None,
+                     query_range: int | None = None
+                     ) -> dict[str, MatchResult]:
         cfg = self.cfg
-        hot = self._hot_hashes()
+        qr = cfg.query_range if query_range is None else query_range
+        hot = self._hot_hashes(hot_cap)
         hits: dict[str, list[tuple[int, int, int, int]]] = defaultdict(list)
         for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
             if hh in hot:
                 continue
-            for probe in range(hh - cfg.query_range, hh + cfg.query_range + 1):
+            for probe in range(hh - qr, hh + qr + 1):
                 if probe in hot:
                     continue
                 for rid, rt, rf in self._index.get(probe, ()):  # Q1
@@ -96,7 +102,12 @@ class GoldenMatcher:
         probes the store with prints from vertical (offset, height) row
         tiles (landmarks.tile_row_ranges); a tile match counts only at
         score >= cfg.tile_min_score. Image analog of the reference's
-        overlapping monitor windows (PanakoStrategy.java:498-510)."""
+        overlapping monitor windows (PanakoStrategy.java:498-510).
+
+        Tile queries run at the FIXED stop-word cap (hash_max_images,
+        not the corpus-scaled cap) — identical to the Spark channel
+        (candidates.tile_hits documents why: crop dup groups are tiny,
+        and a scaled cap makes tile probe volume superlinear)."""
         from panako_spark.kernels.landmarks import extract_prints_with_tiles
 
         if not self.cfg.tile_rescue:
@@ -105,8 +116,10 @@ class GoldenMatcher:
         for qid, gray in grays.items():
             _, tiles = extract_prints_with_tiles(gray, self.cfg)
             for _tid, h, t1, f1 in tiles:
-                for rid, res in self.query_prints(h, t1, f1,
-                                                  avoid={qid}).items():
+                for rid, res in self.query_prints(
+                        h, t1, f1, avoid={qid},
+                        hot_cap=self.cfg.hash_max_images,
+                        query_range=self.cfg.tile_query_range).items():
                     if res.score >= self.cfg.tile_min_score:
                         pairs.add((min(qid, rid), max(qid, rid)))
         return pairs

@@ -96,12 +96,14 @@ def pairs_from_keys(keyed: DataFrame, cap: int,
 
 # --------------------------------------------------------------- landmark ---
 def hot_hash_set(prints: DataFrame, cfg: PanakoConfig,
-                 n_images: int | None = None) -> DataFrame | None:
-    """Stop-word hashes (> effective_hash_max_images distinct images), or
-    None when the cap is disabled. Shared by the landmark self-join and
-    the tile-probe channel so both apply the identical rule the golden
-    matcher uses."""
-    cap = cfg.effective_hash_max_images(n_images)
+                 n_images: int | None = None,
+                 cap: int | None = None) -> DataFrame | None:
+    """Stop-word hashes (> cap distinct images; cap defaults to the
+    corpus-aware effective_hash_max_images), or None when disabled.
+    Shared by the landmark self-join and the tile-probe channel — the
+    golden matcher applies the identical rule at the identical cap."""
+    if cap is None:
+        cap = cfg.effective_hash_max_images(n_images)
     if cap <= 0:
         return None
     return (prints.groupBy("hash")
@@ -171,19 +173,30 @@ def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
     against the stored prints — DIRECTED hits per (query image, stored
     image, tile).
 
-    Mirrors GoldenMatcher.query_prints exactly: a query print whose RAW
-    hash is a stop-word is skipped entirely (anti-join on the raw hash),
-    hot store hashes never match (store-side anti-join), and self pairs
-    drop via id inequality (Q2 with avoid={self}). Verification happens
-    per (pair, tile, direction) downstream (verify.run_tile_verify) with
-    the standard Q5-Q13 kernel — the reference analog is one monitor
-    window's query (PanakoStrategy.java:498-510).
+    Mirrors GoldenMatcher.tile_rescue_pairs exactly: a query print whose
+    RAW hash is a stop-word is skipped entirely (anti-join on the raw
+    hash), hot store hashes never match (store-side anti-join), and self
+    pairs drop via id inequality (Q2 with avoid={self}). Verification
+    happens per (pair, tile, direction) downstream
+    (verify.run_tile_verify) with the standard Q5-Q13 kernel — the
+    reference analog is one monitor window's query
+    (PanakoStrategy.java:498-510).
 
-    Scale shape: identical to landmark_hits — one explode + equi-join on
-    the probe hash, int64 ids, no new shuffle kinds; the tile rows are a
-    bounded constant factor (~|tile grid|) on the landmark channel's
-    query volume."""
-    hot = hot_hash_set(prints, cfg, n_images=n_images)
+    The stop-word cap here is the FIXED floor (cfg.hash_max_images), NOT
+    the corpus-scaled effective cap the landmark channel uses: the
+    corpus-scaled cap exists so large real-world content clusters keep
+    their landmark channel, but the tile channel's only job is rescuing
+    crop pairs, whose dup groups are tiny. Scaled, the cap lets bucket
+    depth grow with n and the ~|tile grid|x probe volume turns the join
+    superlinear (measured: at 69.7k images the scaled cap of 69 made
+    the tile join dominate the whole pipeline); fixed, tile-channel
+    volume stays a bounded constant factor on the linear landmark term.
+    The golden sibling applies the identical fixed cap.
+
+    Scale shape: otherwise identical to landmark_hits — one explode +
+    equi-join on the probe hash, int64 ids, no new shuffle kinds."""
+    hot = hot_hash_set(prints, cfg, n_images=n_images,
+                       cap=cfg.hash_max_images)
     store = prints if hot is None else prints.join(hot, "hash", "left_anti")
     q = (tile_prints if hot is None
          else tile_prints.join(hot, "hash", "left_anti"))
@@ -191,12 +204,20 @@ def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
            else F.xxhash64("image_id"))
     qid = (F.col("iid") if "iid" in tile_prints.columns
            else F.xxhash64("image_id"))
-    r = cfg.query_range
-    probe = q.select(
-        qid.alias("id_q"), "tile_id",
-        F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
-        F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
-        .alias("probe_hash"))
+    r = cfg.tile_query_range
+    if r == 0:
+        # exact-hash probe (the default; config.py documents the
+        # measurement): a plain equi-join, no explode fan-out
+        probe = q.select(
+            qid.alias("id_q"), "tile_id",
+            F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
+            F.col("hash").alias("probe_hash"))
+    else:
+        probe = q.select(
+            qid.alias("id_q"), "tile_id",
+            F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
+            F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
+            .alias("probe_hash"))
     ref = store.select(sid.alias("id_r"),
                        F.col("hash").alias("probe_hash"),
                        F.col("t1").alias("r_t"), F.col("f1").alias("r_f"))
