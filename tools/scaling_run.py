@@ -65,12 +65,23 @@ def _spin(_: int) -> int:
     return x
 
 
-def hardware_ratio(n: int) -> dict:
-    """Pure-CPU throughput at n and 4n processes -> the VM's ceiling."""
+def hardware_ratio(n: int, pin: bool = True) -> dict:
+    """Pure-CPU throughput at n and 4n processes -> the VM's ceiling.
+
+    Pinned to the same CPU sets as the measured runs (children inherit
+    the affinity mask), so the ceiling is the ceiling OF THE PROTOCOL,
+    not of a different scheduling regime."""
     out = {}
+    prev = os.sched_getaffinity(0) if hasattr(os, "sched_getaffinity") else None
     for procs in (n, 4 * n):
-        with mp.Pool(procs) as p:
-            out[procs] = sum(p.map(_spin, range(procs))) / 3.0
+        try:
+            if pin and prev is not None:
+                os.sched_setaffinity(0, set(range(procs)))
+            with mp.Pool(procs) as p:
+                out[procs] = sum(p.map(_spin, range(procs))) / 3.0
+        finally:
+            if pin and prev is not None:
+                os.sched_setaffinity(0, prev)
     return {"n_procs": n, "thr_n": out[n], "thr_4n": out[4 * n],
             "ratio": out[4 * n] / out[n]}
 
@@ -141,12 +152,25 @@ def wait_for_quiet(threshold: float, max_wait_s: float = 600.0) -> float:
 RUNS_JSONL = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 
 
-def run_level(cpus: int, n_base: int, mode: str) -> dict | None:
+def run_level(cpus: int, n_base: int, mode: str,
+              pin: bool = True) -> dict | None:
     """One bench run at one parallelism level; None on subprocess failure
     (a crashed run must cost one pair, never the whole hunt's data —
     learned the hard way when a mid-hunt OOM at 69.7k images killed
     3.5 h of in-memory pair records). Every successful run row is ALSO
     appended to BENCH/scaling_runs.jsonl immediately.
+
+    Each run is PINNED to exactly `cpus` host CPUs (taskset). An
+    unpinned local[N] JVM on a 32-vCPU host offloads GC threads, netty
+    shuffle IO, parquet compression and the Python workers onto idle
+    cores — a 1 Hz /proc/stat sampler measured ~5 cores busy (p90 10.5)
+    during an "unpinned local[2]" full run. Those free extra cores
+    inflate the small level's throughput, so the 2->8 ratio structurally
+    under-reads scaling. A real N-core executor has no spare host cores;
+    pinning makes total CPU scale exactly 4x between the two levels,
+    which is the quantity the north rule's N->4N criterion varies. The
+    host has 32 physical cores, SMT off (1 thread/core), so CPU ids
+    0..N-1 are topology-fair sets.
 
     The driver heap is pinned to 48g (vs bench.py's 16g default): the
     VM has 128 GiB; at 69.7k images the extract persist + concurrent
@@ -156,10 +180,14 @@ def run_level(cpus: int, n_base: int, mode: str) -> dict | None:
     the comparison fair."""
     s0, b0, t0 = _cpu_counters()
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
+           "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    ts0 = time.time()
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
-             "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode],
+            cmd,
             capture_output=True, text=True, timeout=5400, check=True,
             cwd=REPO, env=env)
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
@@ -167,6 +195,7 @@ def run_level(cpus: int, n_base: int, mode: str) -> dict | None:
         print(f"    RUN FAILED local[{cpus}] {mode}: {type(e).__name__}\n"
               f"    stderr tail: {err}", flush=True)
         return None
+    ts1 = time.time()
     s1, b1, t1 = _cpu_counters()
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -177,6 +206,12 @@ def run_level(cpus: int, n_base: int, mode: str) -> dict | None:
             r["steal_pct_aggregate"] = round(
                 100.0 * (s1 - s0) / max(1, t1 - t0), 2)
             r["mode"], r["level"] = mode, cpus
+            r["pinned_cpus"] = f"0-{cpus - 1}" if pin else None
+            r["ts0"], r["ts1"] = round(ts0, 1), round(ts1, 1)
+            # busy ticks are host-wide at 100 Hz/CPU: avg cores busy
+            # during the run (includes this harness's ~0 idle cost)
+            r["avg_busy_cores"] = round((b1 - b0) / 100.0
+                                        / max(1e-9, ts1 - ts0), 2)
             os.makedirs(os.path.dirname(RUNS_JSONL), exist_ok=True)
             with open(RUNS_JSONL, "a") as f:
                 f.write(json.dumps(r) + "\n")
@@ -209,14 +244,19 @@ def main() -> None:
     ap.add_argument("--steal-threshold", type=float, default=5.0,
                     help="max %% hypervisor steal for a run to count as "
                          "clean")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset CPU pinning (pinning is the "
+                         "default: it is what makes local[N] a faithful "
+                         "N-core-executor stand-in)")
     args = ap.parse_args()
+    pin = not args.no_pin
 
     levels = [args.n, args.n * 4]
     modes = args.modes.split(",")
     n_bases = {"store": args.n_base or args.n_base_store,
                "full": args.n_base or args.n_base_full}
 
-    hw = hardware_ratio(args.n)
+    hw = hardware_ratio(args.n, pin=pin)
     print(f"hardware ceiling {args.n}->{4 * args.n} procs (startup probe): "
           f"{hw['ratio']:.2f}x (ideal 4.0x)", flush=True)
     t_budget0 = time.monotonic()
@@ -239,7 +279,7 @@ def main() -> None:
             # the VERDICT flagged a startup-only ceiling (4.34x,
             # superlinear => itself steal-distorted) as internally
             # inconsistent with runs from other windows
-            hw_pair = hardware_ratio(args.n)
+            hw_pair = hardware_ratio(args.n, pin=pin)
             print(f"[{mode}] pair{pair}: pre-flight probe steal "
                   f"{probe:.1f}%, same-window ceiling "
                   f"{hw_pair['ratio']:.2f}x", flush=True)
@@ -251,7 +291,7 @@ def main() -> None:
                 f.write(str(os.getpid()))
             try:
                 for cpus in order:  # alternate order pair-to-pair
-                    r = run_level(cpus, n_bases[mode], mode)
+                    r = run_level(cpus, n_bases[mode], mode, pin=pin)
                     if r is None:  # crashed run: forfeit the pair only
                         failed = True
                         break
@@ -416,7 +456,24 @@ Generated by `python tools/scaling_run.py --n {args.n} --repeats
 {datetime.date.today().isoformat()} (single host, {os.cpu_count()}
 vCPUs, fresh JVM per run, levels alternated within each repeat pair,
 identical cached multi-file input corpus per mode, BLAS pinned to
-1 thread/worker).
+1 thread/worker{", each run taskset-pinned to exactly its N CPUs"
+                if pin else ", UNPINNED"}).
+
+## CPU pinning (what makes local[N] a faithful N-core executor)
+
+An unpinned `local[N]` JVM on a 32-vCPU host offloads GC threads, netty
+shuffle IO, parquet compression and the Python/Arrow workers onto idle
+cores: a 1 Hz /proc/stat sampler measured **~5 cores busy (p90 10.5)
+during an "unpinned local[2]" full-pipeline run**. Those free extra
+cores inflate the small level's throughput, so the measured N->4N ratio
+structurally under-reads the engine's true scaling — round 2's 0.589
+"raw efficiency" was in large part this artifact. A real N-core
+executor has no spare host cores, so each run here is pinned with
+`taskset -c 0-{{N-1}}` to exactly N CPUs (host has 32 physical cores,
+SMT off, so CPU ids are topology-fair). Pinning makes total CPU scale
+exactly 4x between the two levels — the quantity the north rule's
+N->4N criterion actually varies. The hardware-ceiling probe is pinned
+to the same CPU sets, so the ceiling is the ceiling of this protocol.
 
 Two protocols, mirroring the reference's own benchmark split
 (store-rate vs query-rate, resources/scripts/benchmark/benchmark.rb):
