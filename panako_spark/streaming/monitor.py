@@ -65,6 +65,72 @@ def probe_batch(batch_images: DataFrame, stored_prints: DataFrame,
         "score", "time_factor", "freq_factor", "coverage")
 
 
+def synth_frames(ticks: DataFrame, cycle: int, seed: int) -> DataFrame:
+    """Deterministic frame synthesis from rate-source ticks.
+
+    Each tick `value` v becomes the base image of index v % cycle
+    (per-index child rng, so content is independent of batching), with a
+    per-tick unique id `live<v>_<base_id>` — the same frame arriving
+    later in the stream is a new observation of the same content, which
+    is exactly what a capture device produces.
+    """
+    def gen(it):
+        from panako_spark.data.synth import (
+            rows_for_base_index, rows_to_pandas,
+        )
+        for pdf in it:
+            rows, ids = [], []
+            for v in pdf["value"]:
+                base = rows_for_base_index(int(v) % cycle, 0, seed)[0]
+                rows.append(base)
+                ids.append(f"live{int(v):08d}_{base.image_id}")
+            out = rows_to_pandas(rows)
+            out["image_id"] = ids
+            yield out
+
+    return ticks.mapInPandas(gen, ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in IMAGE_SCHEMA))
+
+
+def start_live_monitor(spark: SparkSession, prints_path: str,
+                       output_dir: str, checkpoint_dir: str,
+                       cfg: PanakoConfig | None = None,
+                       rows_per_batch: int = 4, cycle: int = 8,
+                       seed: int = 1234):
+    """S3 live-device monitor analog (Monitor.java:61-66 opens a
+    microphone line and queries every buffered window; this sandbox has
+    no capture device). The live analog is the `rate-micro-batch`
+    source: an UNBOUNDED tick stream with no files and no end — the
+    stream exists only while the query runs, exactly like a device —
+    with each tick deterministically synthesized into a frame inside
+    the micro-batch. Every micro-batch then runs the identical
+    probe-and-verify flow as the file monitor; foreachBatch +
+    checkpointing keep per-batch exactly-once output on restart.
+
+    At cluster scale the synthesis step stands in for a receiver
+    (Kafka/Kinesis frame topic): swap `synth_frames` for the decoder of
+    the real feed and nothing downstream changes.
+    """
+    cfg = cfg or PanakoConfig()
+    stored = spark.read.parquet(prints_path)
+    ticks = (spark.readStream.format("rate-micro-batch")
+             .option("rowsPerBatch", rows_per_batch)
+             .option("numPartitions", 1)
+             .option("startTimestamp", 0)
+             .load()
+             .select("value"))
+
+    def handle(batch_ticks: DataFrame, batch_id: int) -> None:
+        frames = synth_frames(batch_ticks, cycle, seed)
+        matches = probe_batch(frames, stored, cfg)
+        (matches.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (ticks.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
 def start_monitor(spark: SparkSession, input_dir: str, prints_path: str,
                   output_dir: str, checkpoint_dir: str,
                   cfg: PanakoConfig | None = None,

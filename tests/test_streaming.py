@@ -50,3 +50,44 @@ def test_streaming_monitor_finds_dups(spark, cfg, tmp_path):
     # every reported match pairs a dup with a stored base id
     for qid, rid in got:
         assert "_dup" in qid and "_dup" not in rid
+
+
+@pytest.mark.timeout(300)
+def test_live_monitor_rate_source(spark, cfg, tmp_path):
+    """S3 live-device analog: an unbounded rate-micro-batch stream (no
+    files, exists only while the query runs) synthesizes frames that
+    were previously stored; every live frame must re-match its original
+    (exact content -> the landmark channel always verifies)."""
+    from panako_spark.data.synth import rows_for_base_index
+    from panako_spark.streaming.monitor import start_live_monitor
+
+    cycle, seed = 6, 777
+    stored_rows = [rows_for_base_index(i, 0, seed)[0] for i in range(cycle)]
+    prints_path = str(tmp_path / "prints")
+    images = spark.createDataFrame(rows_to_pandas(stored_rows))
+    split_prints(run_extract(images, cfg)).write.parquet(prints_path)
+
+    out_dir = str(tmp_path / "live_matches")
+    q = start_live_monitor(spark, prints_path, out_dir,
+                           str(tmp_path / "live_ckpt"), cfg,
+                           rows_per_batch=cycle, cycle=cycle, seed=seed)
+    import time as _t
+    got = set()
+    try:
+        deadline = _t.monotonic() + 240
+        while _t.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            got = {(r["query_id"], r["ref_id"]) for r in rows}
+            if len({q_ for q_, _ in got}) >= cycle:
+                break
+            _t.sleep(2)
+    finally:
+        q.stop()
+
+    # every stored base id was re-found by at least one live frame of it
+    matched_refs = {r for qid, r in got if qid.split("_", 1)[1] == r}
+    assert matched_refs == {r.image_id for r in stored_rows}, (
+        f"live monitor missed originals: {sorted(got)[:8]}")
