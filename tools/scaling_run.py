@@ -86,18 +86,36 @@ def hardware_ratio(n: int, pin: bool = True) -> dict:
             "ratio": out[4 * n] / out[n]}
 
 
-def _cpu_counters() -> tuple[int, int, int]:
-    """(steal, busy, total) ticks from the aggregate /proc/stat line.
-    busy excludes idle+iowait — steal must be judged against the time
-    the VM actually wanted CPU, because a local[2] run keeps 30 of 32
-    vCPUs idle and dilutes any aggregate-steal reading ~16x."""
+def _cpu_counters(cpu_ids: set[int] | None = None) -> tuple[int, int, int]:
+    """(steal, busy, total) ticks from /proc/stat.
+
+    cpu_ids=None reads the aggregate line. With a set, per-cpu lines are
+    summed over exactly those ids — the right scope for a PINNED run:
+    hypervisor steal accrues per vCPU, so steal on cores the run cannot
+    touch (another job on this VM doing its own work on a disjoint CPU
+    set) says nothing about the pinned cores and must not contaminate
+    the gate. busy excludes idle+iowait — steal is judged against time
+    the CPUs actually wanted to run."""
+    steal = busy = total = 0
     with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = list(map(int, parts[1:]))
-    steal = vals[7] if len(vals) > 7 else 0
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-    total = sum(vals)
-    return steal, total - idle, total
+        for line in f:
+            if not line.startswith("cpu"):
+                break
+            tag = line.split()[0]
+            if cpu_ids is None:
+                if tag != "cpu":
+                    continue
+            else:
+                if tag == "cpu" or int(tag[3:]) not in cpu_ids:
+                    continue
+            vals = list(map(int, line.split()[1:]))
+            steal += vals[7] if len(vals) > 7 else 0
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+            busy += sum(vals) - idle
+            total += sum(vals)
+            if cpu_ids is None:
+                break
+    return steal, busy, total
 
 
 def _spin_until(t_end: float) -> int:
@@ -178,7 +196,10 @@ def run_level(cpus: int, n_base: int, mode: str,
     at once — a memory ceiling that throttles the 4N level but not N
     would masquerade as poor scaling. Same value at both levels keeps
     the comparison fair."""
-    s0, b0, t0 = _cpu_counters()
+    # steal is gated on the PINNED CPU SET only: steal ticks accrue per
+    # vCPU, so contention on cores this run cannot touch is irrelevant
+    cpu_ids = set(range(cpus)) if pin else None
+    s0, b0, t0 = _cpu_counters(cpu_ids)
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
            "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode]
@@ -196,7 +217,7 @@ def run_level(cpus: int, n_base: int, mode: str,
               f"    stderr tail: {err}", flush=True)
         return None
     ts1 = time.time()
-    s1, b1, t1 = _cpu_counters()
+    s1, b1, t1 = _cpu_counters(cpu_ids)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
@@ -207,9 +228,10 @@ def run_level(cpus: int, n_base: int, mode: str,
                 100.0 * (s1 - s0) / max(1, t1 - t0), 2)
             r["mode"], r["level"] = mode, cpus
             r["pinned_cpus"] = f"0-{cpus - 1}" if pin else None
+            r["steal_scope"] = ("pinned_set" if pin else "host")
             r["ts0"], r["ts1"] = round(ts0, 1), round(ts1, 1)
-            # busy ticks are host-wide at 100 Hz/CPU: avg cores busy
-            # during the run (includes this harness's ~0 idle cost)
+            # busy ticks at 100 Hz/CPU over the measured scope: avg
+            # cores busy during the run (pinned set when pinning)
             r["avg_busy_cores"] = round((b1 - b0) / 100.0
                                         / max(1e-9, ts1 - ts0), 2)
             os.makedirs(os.path.dirname(RUNS_JSONL), exist_ok=True)
@@ -495,7 +517,10 @@ baseline but bursts to 20-40% for minutes at a time. A burst slows a
 run below therefore carries its measured steal fraction — relative to
 BUSY (non-idle) ticks, because a {args.n}-core run leaves most vCPUs
 idle and an aggregate reading dilutes the contention on the busy cores
-~{32 // args.n}x; runs above
+~{32 // args.n}x — and, for pinned runs, summed over the run's PINNED
+CPU SET only (per-cpu /proc/stat lines): steal accrues per vCPU, so
+contention on cores the run cannot touch says nothing about it; runs
+above
 {args.steal_threshold}% steal are marked contaminated and extra repeat
 pairs are launched until {args.repeats} clean runs per level exist
 (capped at {args.repeats * 3} pairs). Headline medians are over clean
