@@ -126,14 +126,29 @@ def _spin_until(t_end: float) -> int:
     return x
 
 
-def _steal_probe(procs: int = 8, seconds: float = 6.0) -> float:
+def _steal_probe(procs: int = 8, seconds: float = 6.0,
+                 pin: bool = True) -> float:
     """Busy-relative steal %% while spinning `procs` processes — an idle
-    VM shows ~zero busy ticks, so contention must be probed under load."""
-    s0, b0, _ = _cpu_counters()
+    VM shows ~zero busy ticks, so contention must be probed under load.
+
+    Pinned (default) to the CPU set the measured runs will use, and read
+    from that set's per-cpu counters: hypervisor steal is per vCPU, and
+    an unscoped probe charges this protocol for busy/steal ticks of
+    unrelated same-VM work on disjoint cores."""
+    cpu_ids = set(range(procs)) if pin else None
+    prev = os.sched_getaffinity(0) if (pin and hasattr(
+        os, "sched_getaffinity")) else None
+    s0, b0, _ = _cpu_counters(cpu_ids)
     t_end = time.monotonic() + seconds
-    with mp.Pool(procs) as p:
-        p.map(_spin_until, [t_end] * procs)
-    s1, b1, _ = _cpu_counters()
+    try:
+        if prev is not None:
+            os.sched_setaffinity(0, cpu_ids)
+        with mp.Pool(procs) as p:
+            p.map(_spin_until, [t_end] * procs)
+    finally:
+        if prev is not None:
+            os.sched_setaffinity(0, prev)
+    s1, b1, _ = _cpu_counters(cpu_ids)
     return 100.0 * (s1 - s0) / max(1, b1 - b0)
 
 
