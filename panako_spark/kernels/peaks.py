@@ -22,15 +22,35 @@ from panako_spark.config import PanakoConfig
 
 
 def running_max_1d(mat: np.ndarray, window: int, axis: int) -> np.ndarray:
-    """Centered running max along `axis`, edge-padded (same shape out)."""
+    """Centered running max along `axis`, edge-padded (same shape out).
+
+    van Herk/Gil-Werman: two `maximum.accumulate` passes over
+    window-sized blocks give every position's max in O(n) total work,
+    independent of window size — the batch-vectorized equivalent of the
+    reference's O(n) Lemire deque (LemireMinMaxFilter.java:114-162),
+    ~w/2 x less work than a sliding-window reduction at w=21."""
     if window <= 1:
         return mat
     half = window // 2
     m = np.moveaxis(mat, axis, -1)
     padded = np.pad(m, [(0, 0)] * (m.ndim - 1) + [(half, window - 1 - half)],
                     mode="edge")
-    win = np.lib.stride_tricks.sliding_window_view(padded, window, axis=-1)
-    out = win.max(axis=-1)
+    n_out = m.shape[-1]
+    np_ = padded.shape[-1]
+    n_blocks = -(-np_ // window)
+    tail = n_blocks * window - np_
+    if tail:  # pad to a block multiple; values never reach an output
+        padded = np.concatenate(
+            [padded, np.repeat(padded[..., -1:], tail, axis=-1)], axis=-1)
+    blocks = padded.reshape(*padded.shape[:-1], n_blocks, window)
+    # prefix max within each block, and suffix max within each block
+    g = np.maximum.accumulate(blocks, axis=-1).reshape(
+        *padded.shape[:-1], n_blocks * window)
+    h = np.maximum.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
+        *padded.shape[:-1], n_blocks * window)
+    # window starting at padded index i covers [i, i+window-1]:
+    # max = max(suffix-in-block at i, prefix-in-block at i+window-1)
+    out = np.maximum(h[..., :n_out], g[..., window - 1:window - 1 + n_out])
     return np.moveaxis(out, -1, axis)
 
 
