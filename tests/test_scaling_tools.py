@@ -43,26 +43,30 @@ def test_scoped_counters_additive_over_partition():
 
 
 def test_disjoint_activity_does_not_move_scoped_busy():
-    """Burn CPU on the last core; the {0}-scoped busy delta must not
-    absorb it (the round-3 gate bug this pins: host-wide busy-relative
-    steal charged pinned runs for other cores' work)."""
+    """Burn CPU on one allowed core; a DIFFERENT idle core's scoped busy
+    delta must not absorb it (the round-3 gate bug this pins: host-wide
+    busy-relative steal charged pinned runs for other cores' work).
+    Both cores are picked from this process's own affinity mask so the
+    test coexists with concurrently pinned jobs on other cores."""
     import time
 
-    last = os.cpu_count() - 1
-    s0, b0, t0 = _cpu_counters({0})
-    sL, bL, tL = _cpu_counters({last})
+    allowed = sorted(os.sched_getaffinity(0))
+    assert len(allowed) >= 2, "needs two schedulable CPUs"
+    watch, burn = allowed[-2], allowed[-1]
+    s0, b0, t0 = _cpu_counters({watch})
+    sB, bB, tB = _cpu_counters({burn})
     prev = os.sched_getaffinity(0)
     try:
-        os.sched_setaffinity(0, {last})
+        os.sched_setaffinity(0, {burn})
         t_end = time.monotonic() + 1.0
         x = 0
         while time.monotonic() < t_end:
             x += 1
     finally:
         os.sched_setaffinity(0, prev)
-    s1, b1, t1 = _cpu_counters({0})
-    sL1, bL1, tL1 = _cpu_counters({last})
-    burned_last = bL1 - bL
-    burned_zero = b1 - b0
-    assert burned_last >= 50, burned_last       # ~1s at 100Hz minus noise
-    assert burned_zero <= burned_last / 2, (burned_zero, burned_last)
+    s1, b1, t1 = _cpu_counters({watch})
+    sB1, bB1, tB1 = _cpu_counters({burn})
+    burned = bB1 - bB
+    leaked = b1 - b0
+    assert burned >= 50, burned                 # ~1s at 100Hz minus noise
+    assert leaked <= burned / 2, (leaked, burned)
