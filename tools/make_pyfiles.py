@@ -10,9 +10,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "dist", "panako_spark.zip")
 
 
-def main() -> None:
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
+def build(out: str = OUT) -> str:
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         pkg = os.path.join(REPO, "panako_spark")
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
@@ -21,7 +21,12 @@ def main() -> None:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
-    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+    return out
+
+
+def main() -> None:
+    out = build()
+    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
 
 
 if __name__ == "__main__":
