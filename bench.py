@@ -106,6 +106,21 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
                  / max(1, after[1] - before[1]), 2)
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Total stop-the-world GC milliseconds since JVM start (GC MXBeans).
+    Local mode shares ONE JVM heap across all task threads, so GC cost
+    that grows with parallelism shows up as a per-core throughput loss
+    the N->4N scaling number must be able to attribute — on a real
+    cluster each of the 4N executors has its own heap and collector."""
+    try:
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getGarbageCollectorMXBeans())
+        return sum(max(0, beans.get(i).getCollectionTime())
+                   for i in range(beans.size()))
+    except Exception:  # noqa: BLE001 — diagnostics must never fail a run
+        return -1
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
@@ -168,6 +183,7 @@ def main() -> None:
         ckpt = tempfile.mkdtemp(prefix="panako_bench_ckpt_")
         store = CheckpointStore(ckpt)
         s_pipe = _cpu_counters()
+        gc0 = _jvm_gc_ms(spark)
         t0 = time.monotonic()
         stage_stats: dict = {}
         if args.mode == "store":
@@ -185,6 +201,8 @@ def main() -> None:
         dt = time.monotonic() - t0
         timings[key] = round(dt, 3)
         query_steal[key] = _steal_pct(s_pipe, _cpu_counters())
+        gc1 = _jvm_gc_ms(spark)
+        pipeline_gc_ms = (gc1 - gc0) if gc0 >= 0 and gc1 >= 0 else None
         images_per_sec = round(n_images / dt, 2)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -205,6 +223,8 @@ def main() -> None:
     }
     if not args.skip_pipeline and stage_stats:
         out["stages"] = stage_stats
+        if pipeline_gc_ms is not None:
+            out["pipeline_gc_ms"] = pipeline_gc_ms
         # the reference's own headline protocol is store-rate; the
         # ingest (extract -> prints+signatures) happens inside the
         # pipeline run, so report its rate too. Scaling evidence
