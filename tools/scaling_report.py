@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--log", default="/tmp/scaling_hunt_r3.log")
     ap.add_argument("--kernel-json", default=None,
                     help="output of tools/kernel_ceiling.py --json")
+    ap.add_argument("--freq-json", default=None,
+                    help="output of tools/freq_probe.py --json")
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--threshold", type=float, default=5.0)
     args = ap.parse_args()
@@ -66,6 +68,7 @@ def main() -> None:
     runs = load_runs()
     log = parse_log(args.log)
     kern = json.loads(args.kernel_json) if args.kernel_json else None
+    freq = json.loads(args.freq_json) if args.freq_json else None
 
     modes = sorted({r["mode"] for r in runs})
     lines_rows, eff_blocks, diag_blocks = [], [], []
@@ -182,6 +185,28 @@ both confounders vanish: nodes bring their own DRAM and their own JVM,
 the north rule's ~1.0 ceiling.
 """
 
+    freq_txt = ""
+    if freq and freq.get("per_core_ratio"):
+        pr = freq["per_core_ratio"]
+        freq_txt = f"""
+## Per-core clock under load (turbo droop)
+
+`tools/freq_probe.py` spins a calibrated integer loop pinned to k
+cores and reports iterations/s per core — a software clock immune to
+the VM's static /proc/cpuinfo MHz:
+
+```json
+{json.dumps(freq)}
+```
+
+A busy core delivers **{pr:.3f}x** the single-..-few-core rate when 8
+cores are busy vs 2 — a hardware all-core-turbo effect that multiplies
+into EVERY stage of a strong-scaling measurement on one box (upper
+bound {4 * pr:.2f}x speedup before any software effect) and does not
+exist across cluster sizes on a real cluster, where every node runs
+all-core frequency at both N and 4N.
+"""
+
     startup = log.get("startup_ceiling")
     md = f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
@@ -228,7 +253,7 @@ input; target >= 0.8 per BASELINE.json.)
 ## Matched-window pairs (each pair: both legs + its own ceiling probe)
 
 {chr(10).join(diag_blocks)}
-{kern_txt}
+{kern_txt}{freq_txt}
 ## Reading
 
 No real cluster exists in this sandbox; per the north rule's sanctioned
