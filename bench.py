@@ -135,6 +135,9 @@ def main() -> None:
                          " candidates → verify → cluster; 'store' ="
                          " extract + write prints/signatures only (the"
                          " reference's own store-throughput protocol)")
+    ap.add_argument("--event-log", default=None, metavar="DIR",
+                    help="write a Spark event log into DIR (per-stage "
+                         "task metrics for tools/stage_profile.py)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,10 +148,15 @@ def main() -> None:
     # shuffle partitions scale with the "cluster size" (4x cores), the
     # standard cluster-proportional sizing — a 4N-executor cluster runs
     # 4x the reducers; AQE coalescing governs the actual runtime counts
+    extra_conf = {"spark.sql.files.maxPartitionBytes":
+                  str(8 * 1024 * 1024)}
+    if args.event_log:
+        os.makedirs(args.event_log, exist_ok=True)
+        extra_conf["spark.eventLog.enabled"] = "true"
+        extra_conf["spark.eventLog.dir"] = "file:" + args.event_log
     spark = get_spark("panako-bench", cpus=args.cpus,
                       shuffle_partitions=4 * args.cpus,
-                      extra_conf={"spark.sql.files.maxPartitionBytes":
-                                  str(8 * 1024 * 1024)})
+                      extra_conf=extra_conf)
     timings: dict[str, float] = {}
 
     steal0 = _cpu_counters()
