@@ -154,6 +154,8 @@ def main() -> None:
         os.makedirs(args.event_log, exist_ok=True)
         extra_conf["spark.eventLog.enabled"] = "true"
         extra_conf["spark.eventLog.dir"] = "file:" + args.event_log
+        extra_conf["spark.eventLog.compress"] = "false"
+        extra_conf["spark.eventLog.rolling.enabled"] = "false"
     spark = get_spark("panako-bench", cpus=args.cpus,
                       shuffle_partitions=4 * args.cpus,
                       extra_conf=extra_conf)

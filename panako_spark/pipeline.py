@@ -148,10 +148,25 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
     ex = ThreadPoolExecutor(max_workers=3)
     try:
         # census (tiny id-only aggregate) overlaps the extract scan
-        census_fut = ex.submit(corpus_census, images)
+        def _census():
+            try:
+                spark.sparkContext.setJobDescription("panako:census")
+            except Exception:  # noqa: BLE001
+                pass
+            return corpus_census(images)
+
+        census_fut = ex.submit(_census)
 
         def timed(name: str, fn):
             t0 = time.monotonic()
+            # thread-local job label: every Spark job this branch thread
+            # submits shows as panako:<stage> in the UI/event log — the
+            # three concurrent branches are otherwise indistinguishable
+            # "parquet at ..." writes when profiling scaling
+            try:
+                spark.sparkContext.setJobDescription(f"panako:{name}")
+            except Exception:  # noqa: BLE001 — labels must never fail a run
+                pass
             out = fn()
             stats[f"t_{name}_s"] = round(time.monotonic() - t0, 2)
             return out

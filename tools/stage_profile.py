@@ -30,23 +30,61 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _event_lines(d: str):
+    """Yield event-JSON lines from the newest app log under d — handles
+    both the single-file format and the eventlog_v2 rolling directory
+    (events_*.zstd parts)."""
+    entries = sorted(glob.glob(os.path.join(d, "*")), key=os.path.getmtime)
+    entries = ([e for e in entries if not e.endswith(".inprogress")]
+               or entries)
+    path = entries[-1]
+    parts = (sorted(glob.glob(os.path.join(path, "events_*")))
+             if os.path.isdir(path) else [path])
+    for p in parts:
+        if p.endswith(".zstd"):
+            import pyarrow as pa
+
+            codec = pa.Codec("zstd")
+            # spark writes a zstd stream; pyarrow decompresses buffers,
+            # so stream-decode via the stdlib-free CompressedInputStream
+            with pa.CompressedInputStream(pa.OSFile(p, "rb"),
+                                          "zstd") as f:
+                data = f.read()
+            del codec
+            for line in data.decode("utf-8", "replace").splitlines():
+                yield line
+        else:
+            with open(p) as f:
+                yield from f
+
+
 def parse_event_log(d: str) -> dict:
     """Aggregate task metrics per stage from the newest app log in d."""
-    files = sorted(glob.glob(os.path.join(d, "*")), key=os.path.getmtime)
-    files = [f for f in files if not f.endswith(".inprogress")] or files
-    path = files[-1]
     stages: dict[int, dict] = defaultdict(lambda: defaultdict(float))
     names: dict[int, str] = {}
-    with open(path) as f:
-        for line in f:
+    sql_desc: dict[int | None, str] = {}
+    if True:
+        for line in _event_lines(d):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
                 continue
             e = ev.get("Event")
-            if e == "SparkListenerStageSubmitted":
+            if e and e.endswith("SparkListenerSQLExecutionStart"):
+                sql_desc[ev.get("executionId")] = (
+                    ev.get("description") or "?").split("\n")[0][:70]
+            elif e == "SparkListenerJobStart":
+                props = ev.get("Properties") or {}
+                eid = props.get("spark.sql.execution.id")
+                cs = (sql_desc.get(int(eid)) if eid is not None else None) \
+                    or props.get("spark.job.description") \
+                    or props.get("callSite.short") or "?"
+                for sid in ev.get("Stage IDs", []):
+                    names.setdefault(sid, cs.split("\n")[0][:70])
+            elif e == "SparkListenerStageSubmitted":
                 si = ev["Stage Info"]
-                names[si["Stage ID"]] = si["Stage Name"].split("\n")[0]
+                names.setdefault(si["Stage ID"],
+                                 si["Stage Name"].split("\n")[0])
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 tm = ev.get("Task Metrics") or {}
@@ -74,15 +112,9 @@ def parse_event_log(d: str) -> dict:
 
 
 def _bucket(name: str) -> str:
-    """Collapse stage names into pipeline-phase buckets for comparison
-    across levels (stage IDs differ run to run)."""
-    n = name.lower()
-    for key in ("mapinpandas", "applyinpandas", "parquet", "collect",
-                "count", "sort", "exchange", "union", "distinct",
-                "aggregate", "join", "scan"):
-        if key in n:
-            return key
-    return n.split(" at ")[0][:28]
+    """Collapse job callsites into comparable buckets across levels
+    (stage IDs differ run to run; callsites are stable)."""
+    return name[:44]
 
 
 def summarize(parsed: dict) -> dict:
@@ -108,9 +140,9 @@ def main() -> None:
         dirs = []
         for lv in levels:
             d = f"/tmp/evlog_{lv}"
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
             os.makedirs(d, exist_ok=True)
-            for old in glob.glob(os.path.join(d, "*")):
-                os.remove(old)
             cmd = ["taskset", "-c", f"0-{lv - 1}", sys.executable,
                    os.path.join(REPO, "bench.py"), "--skip-tables",
                    "--cpus", str(lv), "--n-base", str(args.n_base),
