@@ -138,6 +138,10 @@ def main() -> None:
     ap.add_argument("--event-log", default=None, metavar="DIR",
                     help="write a Spark event log into DIR (per-stage "
                          "task metrics for tools/stage_profile.py)")
+    ap.add_argument("--conf", action="append", default=[], metavar="K=V",
+                    help="extra Spark conf (repeatable), e.g. "
+                         "--conf spark.sql.adaptive."
+                         "maxShuffledHashJoinLocalMapThreshold=128m")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,6 +160,9 @@ def main() -> None:
         extra_conf["spark.eventLog.dir"] = "file:" + args.event_log
         extra_conf["spark.eventLog.compress"] = "false"
         extra_conf["spark.eventLog.rolling.enabled"] = "false"
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        extra_conf[k] = v
     spark = get_spark("panako-bench", cpus=args.cpus,
                       shuffle_partitions=4 * args.cpus,
                       extra_conf=extra_conf)

@@ -47,6 +47,20 @@ def get_spark(app_name: str = "panako-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE swap sort-merge joins for shuffled-hash joins when the
+        # runtime build-side per-partition map fits 128 MB. The hit-list
+        # joins (landmark/tile ±range probes) are the pipeline's biggest
+        # shuffles and their sorts are pure overhead — the downstream
+        # verify exchange re-partitions by pair id anyway. Measured on
+        # the pinned 2-vs-8-core protocol (tools/stage_profile.py,
+        # 11.6k images): tile-join CPU at 8 busy cores 311->165 core-s,
+        # total task-time inflation 1.58x->1.27x, local[8] wall -16%
+        # with local[2] unchanged. Runtime-sized (AQE), so partitions
+        # whose build side exceeds the threshold keep sort-merge — safe
+        # at any scale; 128 MB/task needs executors with >=1 GB/task,
+        # the same envelope the 64 MB broadcast threshold assumes.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory",
