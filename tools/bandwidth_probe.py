@@ -28,7 +28,11 @@ N = 40_000_000  # 3 arrays x 8 B x 40 M = 960 MB footprint per process
 def _triad(idx: int) -> float:
     """Return achieved GB/s for one process over ~4 s of triad sweeps."""
     try:
-        os.sched_setaffinity(0, {idx})
+        # pin to the idx-th CPU of the INHERITED mask so `taskset -c`
+        # on the parent confines the whole probe (and a bench pinned
+        # elsewhere on the host is never touched)
+        allowed = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, {allowed[idx % len(allowed)]})
     except OSError:
         pass
     import numpy as np

@@ -578,7 +578,7 @@ The reference (Panako, single node, 8 cores) stores 334-388 seconds of
 audio per wall-clock second at ~45.6 landmark hashes per second of
 audio = ~15-18k hashes/s ingested. This engine extracts ~580 landmark
 hashes per image; at {summary[modes[0]]['median_clean'][levels[1]]:.0f}
-images/s (store, 4N clean median) that is
+images/s ({modes[0]}, 4N clean median) that is
 ~{int(summary[modes[0]]['median_clean'][levels[1]] * 580):,} hashes/s
 ingested — plus MinHash-128, SimHash, phash bands and substring
 fingerprints in the same single decode pass, which the reference does
