@@ -84,6 +84,14 @@ def column_profiles(gray: np.ndarray, cfg: PanakoConfig) -> np.ndarray:
         gray = np.pad(gray, ((0, 0), (0, fw - w)), mode="edge")
         w = fw
     n_frames = 1 + (w - fw) // step
+    if n_frames >= 1 << 21:
+        # frame indices must fit the packed hit-coordinate budget
+        # (stages/candidates._pack_half: t < 2^21); a >4M-frame image is
+        # a multi-gigapixel-wide raster — fail loudly, never corrupt
+        # packed hashes silently
+        raise ValueError(
+            f"image yields {n_frames} frames (width ~{w}px), beyond the "
+            "packed hit-coordinate budget of 2^21 frames")
     # column-mean profile per frame: (n_frames, h)
     starts = np.arange(n_frames) * step
     # cumulative sum along x for O(1) window means

@@ -127,6 +127,32 @@ def hot_hash_filter(prints: DataFrame, cfg: PanakoConfig,
     return prints.join(hot, "hash", "left_anti")
 
 
+# ---- packed hit coordinates -------------------------------------------
+# The hit relation is the pipeline's widest shuffle (the landmark and
+# tile probe-join outputs): the four spectral coordinates of a hit ride
+# ONE non-negative int64 instead of four int columns —
+#     tf = (t_q * 1024 + f_q) * 2^32 + (t_r * 1024 + f_r)
+# which halves the UnsafeRow bytes the pair-key exchange sorts and the
+# Arrow bytes the verify kernel receives (stages/verify._unpack_tf is
+# the inverse). Bounds making each half fit 31 bits: f < 1024 (freq
+# bin index; freq_bins <= 1024 checked below, default 128) and
+# t < 2^21 (frame index; kernels/spectral.frame_profiles raises on
+# wider images — 2^21 frames is a ~4-gigapixel-wide image).
+_HALF = 1 << 32
+
+
+def _pack_half(t_col: str, f_col: str):
+    return F.col(t_col).cast("long") * 1024 + F.col(f_col)
+
+
+def _check_packable(cfg: PanakoConfig) -> None:
+    if cfg.freq_bins > 1024:
+        raise ValueError(
+            f"freq_bins={cfg.freq_bins} exceeds the packed hit-coordinate "
+            "budget (f < 1024); lower freq_samples or widen the packing "
+            "in stages/candidates.py + stages/verify._unpack_tf")
+
+
 def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
                   numeric_ids: bool = False,
                   n_images: int | None = None) -> DataFrame:
@@ -153,18 +179,21 @@ def landmark_hits(prints: DataFrame, cfg: PanakoConfig,
                          else F.xxhash64("image_id"))
     else:
         p = p.withColumn("_iid", F.col("image_id"))
+    _check_packable(cfg)
     r = cfg.query_range
     probe = (p.select(
         F.col("_iid").alias("id_a"),
-        F.col("t1").alias("a_t"), F.col("f1").alias("a_f"),
+        _pack_half("t1", "f1").alias("_a32"),
         F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
         .alias("probe_hash")))
     ref = p.select(F.col("_iid").alias("id_b"),
                    F.col("hash").alias("probe_hash"),
-                   F.col("t1").alias("b_t"), F.col("f1").alias("b_f"))
+                   _pack_half("t1", "f1").alias("_b32"))
     return (probe.join(ref, "probe_hash")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
+            .select("id_a", "id_b",
+                    (F.col("_a32") * F.lit(_HALF) + F.col("_b32"))
+                    .alias("tf")))
 
 
 def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
@@ -204,26 +233,29 @@ def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
            else F.xxhash64("image_id"))
     qid = (F.col("iid") if "iid" in tile_prints.columns
            else F.xxhash64("image_id"))
+    _check_packable(cfg)
     r = cfg.tile_query_range
     if r == 0:
         # exact-hash probe (the default; config.py documents the
         # measurement): a plain equi-join, no explode fan-out
         probe = q.select(
             qid.alias("id_q"), "tile_id",
-            F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
+            _pack_half("t1", "f1").alias("_q32"),
             F.col("hash").alias("probe_hash"))
     else:
         probe = q.select(
             qid.alias("id_q"), "tile_id",
-            F.col("t1").alias("q_t"), F.col("f1").alias("q_f"),
+            _pack_half("t1", "f1").alias("_q32"),
             F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
             .alias("probe_hash"))
     ref = store.select(sid.alias("id_r"),
                        F.col("hash").alias("probe_hash"),
-                       F.col("t1").alias("r_t"), F.col("f1").alias("r_f"))
+                       _pack_half("t1", "f1").alias("_r32"))
     return (probe.join(ref, "probe_hash")
             .where(F.col("id_q") != F.col("id_r"))
-            .select("id_q", "id_r", "tile_id", "q_t", "q_f", "r_t", "r_f"))
+            .select("id_q", "id_r", "tile_id",
+                    (F.col("_q32") * F.lit(_HALF) + F.col("_r32"))
+                    .alias("tf")))
 
 
 def resolve_numeric_ids(verified: DataFrame, id_source: DataFrame) -> DataFrame:

@@ -61,6 +61,16 @@ _FIELDS = ("id_a", "id_b", "score", "time_factor", "freq_factor",
 _TAIL_DTYPES = ("int32", "float64", "float64", "float64", "int32", "int32")
 
 
+def _unpack_tf(tf: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                        np.ndarray, np.ndarray]:
+    """Inverse of candidates._pack_half packing: one non-negative int64
+    (t_q*1024 + f_q)*2^32 + (t_r*1024 + f_r) -> (q_t, q_f, r_t, r_f)."""
+    tf = tf.astype(np.int64, copy=False)
+    a32 = tf >> 32
+    b32 = tf & 0xFFFFFFFF
+    return a32 >> 10, a32 & 1023, b32 >> 10, b32 & 1023
+
+
 def _segments(ids_a: np.ndarray, ids_b: np.ndarray) -> np.ndarray:
     """Start offsets of contiguous (id_a, id_b) runs, plus the end offset."""
     n = ids_a.size
@@ -100,14 +110,12 @@ def make_verify_batches(cfg: PanakoConfig, numeric_ids: bool = False):
                              best.time_factor, best.freq_factor,
                              best.coverage, best.q_start, best.q_stop))
 
-    keys = ("id_a", "id_b", "a_t", "a_f", "b_t", "b_f")
+    keys = ("id_a", "id_b", "tf")
 
     def _run(cols: dict, lo: int, hi: int, rows: list) -> None:
+        a_t, a_f, b_t, b_f = _unpack_tf(cols["tf"][lo:hi])
         _process(cols["id_a"][lo:hi], cols["id_b"][lo:hi],
-                 cols["a_t"][lo:hi].astype(np.int64, copy=False),
-                 cols["a_f"][lo:hi].astype(np.int64, copy=False),
-                 cols["b_t"][lo:hi].astype(np.int64, copy=False),
-                 cols["b_f"][lo:hi].astype(np.int64, copy=False), rows)
+                 a_t, a_f, b_t, b_f, rows)
 
     def verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-batch streaming with run carry: each Arrow batch is
@@ -157,7 +165,7 @@ TILE_VERIFIED_SCHEMA = T.StructType([
     T.StructField("score", T.IntegerType()),
 ])
 
-_TILE_KEYS = ("id_q", "id_r", "tile_id", "q_t", "q_f", "r_t", "r_f")
+_TILE_KEYS = ("id_q", "id_r", "tile_id", "tf")
 
 
 def make_tile_verify_batches(cfg: PanakoConfig):
@@ -182,10 +190,7 @@ def make_tile_verify_batches(cfg: PanakoConfig):
         ids_q = cols["id_q"][lo:hi]
         ids_r = cols["id_r"][lo:hi]
         tids = cols["tile_id"][lo:hi]
-        q_t = cols["q_t"][lo:hi].astype(np.int64, copy=False)
-        q_f = cols["q_f"][lo:hi].astype(np.int64, copy=False)
-        r_t = cols["r_t"][lo:hi].astype(np.int64, copy=False)
-        r_f = cols["r_f"][lo:hi].astype(np.int64, copy=False)
+        q_t, q_f, r_t, r_f = _unpack_tf(cols["tf"][lo:hi])
         bounds = _segments3(ids_q, ids_r, tids)
         lens = np.diff(bounds)
         for si in np.flatnonzero(lens >= min_hits):
@@ -221,8 +226,9 @@ def make_tile_verify_batches(cfg: PanakoConfig):
 
 def run_tile_verify(hits: DataFrame, cfg: PanakoConfig,
                     partitions: int | None = None) -> DataFrame:
-    """tile hits(id_q, id_r, tile_id, q_t, q_f, r_t, r_f) -> directed
-    (id_q, id_r, tile_id, score).
+    """tile hits(id_q, id_r, tile_id, tf) -> directed
+    (id_q, id_r, tile_id, score); tf is the packed coordinate int64
+    (candidates._pack_half).
 
     Same plan shape as run_verify: ONE hash exchange on the directed
     pair key (tile_id rides inside the pair's partition), the Q5 min-hits
@@ -245,7 +251,8 @@ def run_tile_verify(hits: DataFrame, cfg: PanakoConfig,
 def run_verify(hits: DataFrame, cfg: PanakoConfig,
                partitions: int | None = None,
                numeric_ids: bool = False) -> DataFrame:
-    """hits(id_a, id_b, a_t, a_f, b_t, b_f) -> verified pairs with score.
+    """hits(id_a, id_b, tf) -> verified pairs with score; tf is the
+    packed coordinate int64 (candidates._pack_half).
 
     One hash exchange on the pair key; the Q5 gate runs JVM-side as a
     window count over the exchange's own sort (noise pairs with < 10

@@ -45,20 +45,27 @@ def probe_batch(batch_images: DataFrame, stored_prints: DataFrame,
     Direction is fixed (query -> store), like the reference's monitor;
     `avoid` (Q2) is the self-id filter.
     """
+    from panako_spark.stages.candidates import (
+        _HALF, _check_packable, _pack_half,
+    )
+
+    _check_packable(cfg)
     q_prints = split_prints(run_extract(batch_images, cfg))
     r = cfg.query_range
     probe = q_prints.select(
         F.col("image_id").alias("id_a"),
-        F.col("t1").alias("a_t"), F.col("f1").alias("a_f"),
+        _pack_half("t1", "f1").alias("_a32"),
         F.explode(F.sequence(F.col("hash") - r, F.col("hash") + r))
         .alias("probe_hash"))
     ref = stored_prints.select(
         F.col("image_id").alias("id_b"),
         F.col("hash").alias("probe_hash"),
-        F.col("t1").alias("b_t"), F.col("f1").alias("b_f"))
+        _pack_half("t1", "f1").alias("_b32"))
     hits = (probe.join(ref, "probe_hash")
             .where(F.col("id_a") != F.col("id_b"))  # avoid-set (Q2)
-            .select("id_a", "id_b", "a_t", "a_f", "b_t", "b_f"))
+            .select("id_a", "id_b",
+                    (F.col("_a32") * F.lit(_HALF) + F.col("_b32"))
+                    .alias("tf")))
     verified = run_verify(hits, cfg)
     return verified.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("ref_id"),

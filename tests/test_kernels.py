@@ -340,12 +340,15 @@ def test_verify_kernel_run_carry(cfg):
 
     from panako_spark.stages.verify import make_verify_batches
 
+    def pack(a_t, a_f, b_t, b_f):  # candidates._pack_half layout
+        return ((a_t * 1024 + a_f) << 32) | (b_t * 1024 + b_f)
+
     rows = []
     for ia, ib in [(1, 2), (3, 4), (5, 6)]:
         for t in range(15):
-            rows.append((ia, ib, t, 10 + (t % 3), t + 1, 10 + (t % 3)))
-    df = pd.DataFrame(rows, columns=["id_a", "id_b",
-                                     "a_t", "a_f", "b_t", "b_f"])
+            rows.append((ia, ib,
+                         pack(t, 10 + (t % 3), t + 1, 10 + (t % 3))))
+    df = pd.DataFrame(rows, columns=["id_a", "id_b", "tf"])
     fn = make_verify_batches(cfg, numeric_ids=True)
     whole = pd.concat(list(fn(iter([df])))).reset_index(drop=True)
     assert len(whole) == 3  # perfectly aligned runs all verify
@@ -459,3 +462,29 @@ def test_tile_row_ranges_dedup_and_bounds(cfg):
         assert len(ranges) == len(set(ranges))
         for r0, r1 in ranges:
             assert 0 <= r0 < r1 <= h and r1 - r0 >= 16
+
+
+def test_packed_hit_coordinate_roundtrip():
+    """candidates._pack_half packing and verify._unpack_tf must be exact
+    inverses over the full documented budget (t < 2^21, f < 1024), and
+    the packed value must stay non-negative (numpy >> is arithmetic)."""
+    import numpy as np
+
+    from panako_spark.stages.verify import _unpack_tf
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    a_t = rng.integers(0, 1 << 21, n)
+    b_t = rng.integers(0, 1 << 21, n)
+    a_f = rng.integers(0, 1024, n)
+    b_f = rng.integers(0, 1024, n)
+    # corner values included explicitly
+    a_t[0], a_f[0], b_t[0], b_f[0] = (1 << 21) - 1, 1023, (1 << 21) - 1, 1023
+    a_t[1] = a_f[1] = b_t[1] = b_f[1] = 0
+    tf = (a_t * 1024 + a_f) * (1 << 32) + (b_t * 1024 + b_f)
+    assert (tf >= 0).all()
+    ua_t, ua_f, ub_t, ub_f = _unpack_tf(tf)
+    np.testing.assert_array_equal(ua_t, a_t)
+    np.testing.assert_array_equal(ua_f, a_f)
+    np.testing.assert_array_equal(ub_t, b_t)
+    np.testing.assert_array_equal(ub_f, b_f)
