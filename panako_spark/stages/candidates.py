@@ -367,6 +367,22 @@ def caption_exact_pairs(signatures: DataFrame, cfg: PanakoConfig
     return pairs_from_keys(keyed, cfg.band_pair_cap)
 
 
+# 1-byte channel codes for the fused flow's shuffle rows; decoded back
+# to names on the verified output (fused_candidate_pairs)
+_CH_MINHASH, _CH_SIMHASH, _CH_PHASH = 1, 2, 3
+_CH_CAPTION_EXACT, _CH_CAPTION_SUBSTRING = 4, 5
+_CH_NAMES = {_CH_MINHASH: "minhash", _CH_SIMHASH: "simhash",
+             _CH_PHASH: "phash", _CH_CAPTION_EXACT: "caption_exact",
+             _CH_CAPTION_SUBSTRING: "caption_substring"}
+
+
+def _channel_name(code):
+    expr = F.lit(None).cast("string")
+    for c, name in _CH_NAMES.items():
+        expr = F.when(code == c, F.lit(name)).otherwise(expr)
+    return expr
+
+
 def _phash_band_keys(cfg: PanakoConfig):
     bpb = cfg.phash_bits_per_band
     mask = (1 << bpb) - 1
@@ -392,23 +408,32 @@ def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
 
     Returns (pairs(channel, id_a, id_b), stats(channel, n_keys,
     n_hot_keys, dropped_cross_pairs_estimate)).
-    """
-    ch = F.lit
+
+    Shuffle-width discipline: the keyed relation (every band of every
+    channel) and the salted self-join are the fused flow's volume, so
+    rows carry the 8-byte dictionary `iid` instead of the string
+    image_id and a 1-byte channel CODE instead of the channel name —
+    names and string ids are resolved once, on the (tiny) verified
+    output and the 5-row stats frame."""
+    sid = (F.col("iid") if "iid" in signatures.columns
+           else F.xxhash64("image_id")).alias("image_id")
+
+    def ch(code: int):
+        return F.lit(code).cast("tinyint").alias("channel")
+
     keyed = (
-        signatures.select("image_id", F.explode("mh_bands").alias("key"),
-                          ch("minhash").alias("channel"))
+        signatures.select(sid, F.explode("mh_bands").alias("key"),
+                          ch(_CH_MINHASH))
         .unionByName(signatures.select(
-            "image_id", F.explode("sh_bands").alias("key"),
-            ch("simhash").alias("channel")))
+            sid, F.explode("sh_bands").alias("key"), ch(_CH_SIMHASH)))
         .unionByName(signatures.select(
-            "image_id", F.explode(_phash_band_keys(cfg)).alias("key"),
-            ch("phash").alias("channel")))
+            sid, F.explode(_phash_band_keys(cfg)).alias("key"),
+            ch(_CH_PHASH)))
         .unionByName(signatures.select(
-            "image_id", F.col("caption_hash").alias("key"),
-            ch("caption_exact").alias("channel")))
+            sid, F.col("caption_hash").alias("key"), ch(_CH_CAPTION_EXACT)))
         .unionByName(signatures.select(
-            "image_id", F.explode("substr_fps").alias("key"),
-            ch("caption_substring").alias("channel"))))
+            sid, F.explode("substr_fps").alias("key"),
+            ch(_CH_CAPTION_SUBSTRING))))
     cand, stats = pairs_from_keys_multi(keyed, cfg.band_pair_cap,
                                         caches=caches)
     # four per-channel branches read cand below — one materialization
@@ -425,6 +450,9 @@ def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
     # candidates) costs more than every verification combined, so the
     # wide arrays only ever join the MinHash channel's own (tiny,
     # high-entropy-banded) candidate set.
+    nid = (F.col("iid") if "iid" in signatures.columns
+           else F.xxhash64("image_id"))
+
     def _two_sided(df: DataFrame, col: str, alias_a: str, alias_b: str):
         a = df.select(F.col("image_id").alias("id_a"),
                       F.col(col).alias(alias_a))
@@ -432,16 +460,18 @@ def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
                       F.col(col).alias(alias_b))
         return a, b
 
-    bits = (cand.where(F.col("channel").isin("simhash", "phash"))
-            .join(signatures.select("image_id", "simhash", "phash")
+    sigs_n = signatures.select(nid.alias("image_id"), "simhash", "phash",
+                               "minhash")
+    bits = (cand.where(F.col("channel").isin(_CH_SIMHASH, _CH_PHASH))
+            .join(sigs_n.select("image_id", "simhash", "phash")
                   .withColumnRenamed("image_id", "id_a")
                   .withColumnRenamed("simhash", "_sa")
                   .withColumnRenamed("phash", "_pa"), "id_a")
-            .join(signatures.select("image_id", "simhash", "phash")
+            .join(sigs_n.select("image_id", "simhash", "phash")
                   .withColumnRenamed("image_id", "id_b")
                   .withColumnRenamed("simhash", "_sb")
                   .withColumnRenamed("phash", "_pb"), "id_b")
-            .where(F.when(F.col("channel") == "simhash",
+            .where(F.when(F.col("channel") == _CH_SIMHASH,
                           F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
                           <= cfg.simhash_hamming_threshold)
                    .otherwise(
@@ -449,30 +479,43 @@ def fused_candidate_pairs(signatures: DataFrame, images: DataFrame,
                        <= cfg.phash_hamming_threshold))
             .select("channel", "id_a", "id_b"))
 
-    ma, mb = _two_sided(signatures.select("image_id", "minhash"),
+    ma, mb = _two_sided(sigs_n.select("image_id", "minhash"),
                         "minhash", "_ma", "_mb")
     jacc = (F.aggregate(F.zip_with("_ma", "_mb",
                                    lambda x, y: (x == y).cast("int")),
                         F.lit(0), lambda acc, v: acc + v)
             / F.lit(cfg.minhash_perms))
-    mh = (cand.where(F.col("channel") == "minhash")
+    mh = (cand.where(F.col("channel") == _CH_MINHASH)
           .join(ma, "id_a").join(mb, "id_b")
           .where(jacc >= cfg.minhash_jaccard_threshold)
           .select("channel", "id_a", "id_b"))
 
-    caps = images.select("image_id", "caption")
+    # captions live on the input table; route them through the persisted
+    # iid map (one row per image) so only the candidate set ever joins
+    # the caption strings
+    caps = (images.select("image_id", "caption")
+            .join(signatures.select("image_id", nid.alias("_nid")),
+                  "image_id")
+            .select(F.col("_nid").alias("image_id"), "caption"))
     ca, cb = _two_sided(caps, "caption", "_ca", "_cb")
     thresh = cfg.substring_min_len + 8 - 1  # winnow window w=8 (suffix.py)
     substr_ok = (((F.length("_ca") >= thresh) & F.contains("_cb", "_ca"))
                  | ((F.length("_cb") >= thresh) & F.contains("_ca", "_cb")))
-    sub = (cand.where(F.col("channel") == "caption_substring")
+    sub = (cand.where(F.col("channel") == _CH_CAPTION_SUBSTRING)
            .join(ca, "id_a").join(cb, "id_b")
            .where(substr_ok)
            .select("channel", "id_a", "id_b"))
 
-    exact = cand.where(F.col("channel") == "caption_exact")
+    exact = cand.where(F.col("channel") == _CH_CAPTION_EXACT)
 
     out = exact.unionByName(bits).unionByName(mh).unionByName(sub)
+    # resolve the 1-byte codes + 8-byte ids back to names + image_ids on
+    # the verified output only (canonical string order, like the
+    # landmark channel's resolve)
+    out = resolve_numeric_ids(
+        out.withColumn("channel", _channel_name(F.col("channel"))),
+        signatures).select("channel", "id_a", "id_b")
+    stats = stats.withColumn("channel", _channel_name(F.col("channel")))
     return out, stats
 
 
