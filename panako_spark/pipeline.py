@@ -307,11 +307,15 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
 
         # ---- one consolidated lineage append --------------------------------
         if lineage_rows:
+            # a handful of driver-local rows: one slice, not
+            # defaultParallelism Python-worker tasks (measured ~3 s of
+            # pure worker-spawn wait at local[8] for an 8-slice
+            # ParallelCollection of ~20 rows)
             store.append_lineage(spark.createDataFrame(
                 [tuple(r) for r in lineage_rows],
                 schema="stage string, partition_id int, input_count long, "
                        "signature_count long, band_count long, "
-                       "elapsed_ms long, run_id string"))
+                       "elapsed_ms long, run_id string").coalesce(1))
     finally:
         if extracted is not None:
             extracted.unpersist()
