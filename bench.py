@@ -149,11 +149,23 @@ def main() -> None:
 
     from panako_spark.session import get_spark
 
-    # shuffle partitions scale with the "cluster size" (4x cores), the
-    # standard cluster-proportional sizing — a 4N-executor cluster runs
-    # 4x the reducers; AQE coalescing governs the actual runtime counts
+    # ONE conf at every parallelism level (the scaling protocol compares
+    # levels, so the conf must not vary with them). Shuffle partitions
+    # are sized by the build-side math, not by cores: the bench-scale
+    # hit exchanges move ~9-14 GB, so 256 partitions keep per-task
+    # shuffled-hash-join builds at ~25-55 MB — comfortably under the
+    # 128 MB SHJ threshold (at 32 partitions the ~440 MB reduce blocks
+    # silently fell back to sort-merge, which burned 2x the CPU at 8
+    # busy cores: local[8] full-pipeline wall 904 s -> 806 s from this
+    # change alone) and small enough that the concurrent probe tasks'
+    # hash maps stay cache-resident. The 8 MB AQE advisory keeps the
+    # small stages coalescing as before; tiny-stage overproliferation
+    # is handled where it arises (connected_components caps its own
+    # loop). On a real cluster the same rule is "partitions ~= shuffle
+    # bytes / 64 MB", independent of executor count.
     extra_conf = {"spark.sql.files.maxPartitionBytes":
-                  str(8 * 1024 * 1024)}
+                  str(8 * 1024 * 1024),
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"}
     if args.event_log:
         os.makedirs(args.event_log, exist_ok=True)
         extra_conf["spark.eventLog.enabled"] = "true"
@@ -164,7 +176,7 @@ def main() -> None:
         k, _, v = kv.partition("=")
         extra_conf[k] = v
     spark = get_spark("panako-bench", cpus=args.cpus,
-                      shuffle_partitions=4 * args.cpus,
+                      shuffle_partitions=256,
                       extra_conf=extra_conf)
     timings: dict[str, float] = {}
 

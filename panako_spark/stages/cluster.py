@@ -66,7 +66,24 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     """pairs(id_a, id_b) + all_ids(image_id) -> (image_id, cluster_id).
 
     cluster_id = min image_id of the component; singletons label themselves.
+
+    The edge relation is orders of magnitude smaller than the pipeline's
+    hit exchanges (verified pairs, not hits), but each star round plans
+    4-5 shuffles, so at the session's exchange-sized shuffle-partition
+    count (256 at bench scale) a converged loop schedules thousands of
+    near-empty reduce tasks whose dispatch latency serializes on the
+    driver — measured 15.8 s -> 52.9 s wall at 69.7k images when the
+    session went 32 -> 256 partitions. The loop therefore caps
+    spark.sql.shuffle.partitions at 32 for its own rounds (restored
+    after the last materializing action; the lazy label join left for
+    the caller is one tiny AQE-coalesced shuffle either way). The cap
+    is NOT thread-safe vs concurrent planning on the same session —
+    run_pipeline calls this after the concurrent branches have joined.
     """
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key, "32")
+    cc_parts = min(int(orig_parts), 32)
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .where(F.col("src") != F.col("dst")).distinct()
@@ -74,6 +91,22 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     prev = None
     done = 0
     first_check = True
+    spark.conf.set(conf_key, str(cc_parts))
+    try:
+        edges, labels = _cc_loop(edges, prev, done, first_check,
+                                 max_iterations)
+    finally:
+        spark.conf.set(conf_key, orig_parts)
+    # after convergence every non-min node points directly at the component
+    # min; minima and isolated nodes label themselves
+    return (all_ids.select("image_id")
+            .join(labels, "image_id", "left")
+            .select("image_id",
+                    F.coalesce("cluster_id", "image_id").alias("cluster_id")))
+
+
+def _cc_loop(edges: DataFrame, prev, done: int, first_check: bool,
+             max_iterations: int):
     while done < max_iterations:
         # batch star rounds per driver synchronization: the checksum
         # collect is the only action (it materializes the lazy
@@ -95,9 +128,7 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
         prev = cur
     labels = (edges.groupBy(F.col("src").alias("image_id"))
               .agg(F.min("dst").alias("cluster_id")))
-    # after convergence every non-min node points directly at the component
-    # min; minima and isolated nodes label themselves
-    return (all_ids.select("image_id")
-            .join(labels, "image_id", "left")
-            .select("image_id",
-                    F.coalesce("cluster_id", "image_id").alias("cluster_id")))
+    # materialize the labels while the partition cap is still in force —
+    # groupBy on the checkpointed edges is the loop's last real shuffle
+    labels = labels.localCheckpoint(eager=True)
+    return edges, labels
