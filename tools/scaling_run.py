@@ -183,6 +183,78 @@ def wait_for_quiet(threshold: float, max_wait_s: float = 600.0) -> float:
 
 
 RUNS_JSONL = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+BW_PROBE_JSON = os.path.join(REPO, "BENCH", "bandwidth_probe.json")
+
+
+def _history_section(mode: str, lo: int, hi: int) -> str:
+    """Auto-regenerated measurement history: EVERY pinned pair ever
+    appended to BENCH/scaling_runs.jsonl, so a rewrite of BASELINE.md
+    can never drop prior evidence. Pairs = chronologically adjacent
+    pinned runs of `mode` at the two levels (the protocol alternates
+    levels within a pair, so adjacency is pairing)."""
+    try:
+        with open(RUNS_JSONL) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return ""
+    rows = [r for r in rows
+            if r.get("mode") == mode and r.get("pinned_cpus")
+            and r.get("level") in (lo, hi)]
+    pairs, i = [], 0
+    while i + 1 < len(rows):
+        a, b = rows[i], rows[i + 1]
+        if {a["level"], b["level"]} == {lo, hi}:
+            small = a if a["level"] == lo else b
+            big = b if small is a else a
+            pairs.append((small, big))
+            i += 2
+        else:
+            i += 1
+    if not pairs:
+        return ""
+    lines = []
+    for k, (s, b) in enumerate(pairs, 1):
+        sp = b["images_per_sec"] / s["images_per_sec"]
+        when = datetime.datetime.fromtimestamp(
+            s["ts0"]).strftime("%Y-%m-%d %H:%M")
+        lines.append(
+            f"| {k} | {when} | {s['images_per_sec']:.2f} "
+            f"| {b['images_per_sec']:.2f} | {sp:.2f}x "
+            f"| {sp / (hi / lo):.3f} "
+            f"| {s['steal_pct']}% / {b['steal_pct']}% |")
+    bw = ""
+    try:
+        with open(BW_PROBE_JSON) as f:
+            levels = {x["procs"]: x["aggregate_gbs"]
+                      for x in json.load(f)["levels"]}
+        if lo in levels and hi in levels:
+            ratio = levels[hi] / levels[lo]
+            bw = (f"\nThe pure-CPU ceiling above bounds compute-bound "
+                  f"code only. The STREAM-triad probe "
+                  f"(tools/bandwidth_probe.py, BENCH/bandwidth_probe"
+                  f".json) measures the DRAM side of the same box: "
+                  f"aggregate bandwidth from {lo} to {hi} pinned "
+                  f"processes scales **{ratio:.2f}x** "
+                  f"({levels[lo]:.1f} -> {levels[hi]:.1f} GB/s), so a "
+                  f"fully memory-streaming-bound phase cannot exceed "
+                  f"{ratio:.2f}x (efficiency {ratio / (hi / lo):.2f}) "
+                  f"here no matter how it is coded. On the deployment "
+                  f"target (N vs 4N executors, each with its own "
+                  f"memory channels) this term does not exist — "
+                  f"BENCH/ATTRIBUTION.md quantifies which stages it "
+                  f"binds.\n")
+    except (OSError, KeyError, ValueError):
+        pass
+    return (f"\n### Measurement history — {mode} mode (every pinned "
+            f"pair ever recorded, none dropped)\n\n"
+            f"All pairs below ran the identical protocol on the same "
+            f"cached corpus; rows are chronological, so code changes "
+            f"land between rows (per-commit attribution in "
+            f"BENCH/ATTRIBUTION.md):\n\n"
+            f"| pair | started | thr local[{lo}] | thr local[{hi}] "
+            f"| speedup | raw eff | steal {lo}/{hi} |\n"
+            f"|---|---|---|---|---|---|---|\n"
+            + "\n".join(lines) + "\n" + bw)
 
 
 def run_level(cpus: int, n_base: int, mode: str,
@@ -567,7 +639,7 @@ preferred numbers — see the `pairs` array in the raw JSON.
 
 (efficiency = thr(4N) / (4 x thr(N)), strong scaling on fixed input;
 target >= 0.8 per BASELINE.json.)
-
+{chr(10).join(_history_section(m, args.n, 4 * args.n) for m in modes)}
 No real cluster exists in this sandbox; per the north rule's sanctioned
 substitute this evidences the two-cluster-size criterion by running the
 same job at two local parallelism levels on the same input.
