@@ -88,6 +88,103 @@ def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.dup_pairs
 
 
+def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only showcase of the image multimodal plumbing: decode ->
+    nearest-neighbor resize -> PNG re-encode -> feature extract, all via
+    Arrow-batched mapInPandas. sf_dir unused — the corpus is synthetic.
+    The real gate is in-query: a pure-NumPy golden twin recomputes every
+    feature from the known pixels and the query RAISES on mismatch."""
+    import numpy as np
+
+    from panako_spark.data.synth import generate_corpus, rows_to_pandas
+    from panako_spark.kernels.codec import to_gray
+    from panako_spark.operators.multimodal import (
+        _resize, image_features, resize_images,
+    )
+
+    rows, _ = generate_corpus(8, dup_fraction=0.25, seed=11)
+    images = spark.createDataFrame(rows_to_pandas(rows))
+    feats = image_features(resize_images(images, 32, 32))
+    got = {r["image_id"]: r for r in feats.collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        g_row = got[r.image_id]
+        assert g_row["err"] is None, f"{r.image_id}: {g_row['err']}"
+        small = _resize(r.pixels, 32, 32)   # PNG roundtrip is lossless
+        g = to_gray(small)
+        gy, gx = np.gradient(g)
+        mag = np.hypot(gx, gy)
+        assert np.allclose(g_row["mean_rgb"],
+                           [small[..., c].mean() for c in range(3)])
+        assert np.isclose(g_row["std_gray"], g.std())
+        assert np.isclose(g_row["edge_density"], (mag > 10.0).mean())
+    return feats.select("image_id", "std_gray", "edge_density")
+
+
+def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing gate: deterministic s16le PCM sines -> batched
+    duration/RMS/zero-crossing features, NumPy golden in-query; one row
+    with an unsupported container fmt must quarantine into err (the
+    documented no-ffmpeg seam), not kill the job."""
+    import numpy as np
+
+    from panako_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    clips = []
+    for i in range(6):
+        t = np.arange(sr // 2, dtype=np.float64) / sr
+        wave = (0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t))
+        pcm = (wave * 32767).astype("<i2").tobytes()
+        clips.append((f"a{i}", pcm, sr, "pcm16"))
+    clips.append(("bad", b"\x00" * 64, sr, "mp3"))  # container, no ffmpeg
+    audio = spark.createDataFrame(
+        clips, "audio_id string, bytes binary, sample_rate int, fmt string")
+    feats = audio_features(audio)
+    got = {r["audio_id"]: r for r in feats.collect()}
+    assert got["bad"]["err"] is not None and "ffmpeg" in got["bad"]["err"]
+    for aid, pcm, s, fmt in clips[:-1]:
+        wave = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+        row = got[aid]
+        assert row["err"] is None
+        assert np.isclose(row["duration_s"], wave.size / s)
+        assert np.isclose(row["rms"], np.sqrt(np.mean(wave ** 2)))
+        assert row["zero_crossings"] == int(
+            np.count_nonzero(np.diff(np.signbit(wave))))
+    return feats.select("audio_id", "duration_s", "rms", "zero_crossings")
+
+
+def _multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video plumbing gate: rawrgb frame concatenations -> every-k frame
+    sampling -> image rows shaped for the landmark extract stage. The
+    golden checks sampled indices and exact pixel roundtrip per frame."""
+    import numpy as np
+
+    from panako_spark.kernels.codec import decode
+    from panako_spark.operators.multimodal import video_dedup_frames
+
+    rng = np.random.default_rng(23)
+    w, h, n = 24, 16, 12
+    vids = {}
+    for i in range(3):
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        vids[f"v{i}"] = frames
+    video = spark.createDataFrame(
+        [(vid, fr.tobytes(), "rawrgb", n, w, h)
+         for vid, fr in vids.items()],
+        "video_id string, bytes binary, fmt string, "
+        "n_frames int, w int, h int")
+    out = video_dedup_frames(video, every_k=5)
+    got = out.collect()
+    expected_ids = {f"{vid}#{i}" for vid in vids for i in range(0, n, 5)}
+    assert {r["image_id"] for r in got} == expected_ids
+    for r in got:
+        vid, idx = r["image_id"].split("#")
+        img = decode(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        assert np.array_equal(img, vids[vid][int(idx)])
+    return out.select("image_id", "w", "h", "fmt")
+
+
 def _minhash_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panako_spark.operators.dedup import minhash_dup_pairs
 
@@ -137,6 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full image pipeline (rows-only + IN-QUERY golden parity
         #     assertions: a parity failure raises -> driver error) ---
         "image_dedup_pipeline": _image_dedup_smoke,
+        # --- multimodal plumbing (decode/resize/feature/frame-sample);
+        # rows-only like the pipeline smoke: the gate is the in-query
+        # NumPy golden parity, which raises on any mismatch ---
+        "multimodal_image_features": _multimodal_image_features,
+        "multimodal_audio_features": _multimodal_audio_features,
+        "multimodal_video_frames": _multimodal_video_frames,
     }
 
 
