@@ -195,12 +195,29 @@ class PanakoConfig:
     # ---- execution ------------------------------------------------------------
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 256
+    # Probe-side pre-filter for the two ±range/exact probe joins
+    # (candidates.landmark_hits / tile_hits): "semi" drops probe rows
+    # whose key matches NO stored hash with a broadcast left-semi join
+    # against the distinct store-hash set BEFORE the probe exchange —
+    # the DataFrame-API form of Spark's own runtime-filter rewrite
+    # (InjectRuntimeFilter plans the identical semi join when its scan
+    # heuristics fire; they don't see through our checkpoint reads).
+    # Result-exact: the real equi-join still enforces key equality, the
+    # filter only removes rows that could never match. Measured at
+    # 11.6k images: 56% of exploded landmark probe rows and 48% of tile
+    # probe rows match nothing — pure exchange+join overhead. At
+    # 10^12-row scale swap the exact set for a bloom filter (same plan
+    # shape, ~1% false-pass); "none" disables.
+    probe_prefilter: str = "semi"
 
     def __post_init__(self):
         if self.strategy not in ("panako", "olaf"):
             raise ValueError(
                 f"strategy must be 'panako' or 'olaf', got "
                 f"{self.strategy!r}")
+        if self.probe_prefilter not in ("semi", "none"):
+            raise ValueError("probe_prefilter must be 'semi' or 'none', "
+                             f"got {self.probe_prefilter!r}")
         if self.olaf_eps_per_fp not in (2, 3):
             raise ValueError("olaf_eps_per_fp must be 2 or 3 "
                              "(Key.java:227)")

@@ -207,6 +207,13 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         # ---- landmark verify ∥ fused signature channels ---------------------
         arrow_batch(8192)
 
+        # one distinct store-hash relation feeds BOTH probe branches'
+        # semi pre-filter (candidates._semi_prefilter) — persisted so
+        # the concurrent branches don't race to recompute the distinct
+        store_hashes = None
+        if cfg.probe_prefilter == "semi":
+            store_hashes = C.store_hash_relation(prints).persist()
+
         def compute_verified() -> DataFrame:
             # Q5's min-hits gate runs inside the verify kernel (one
             # shuffle on the pair key); the widest shuffle of the
@@ -215,7 +222,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             # (the golden matcher counts len(self._prints)); feeding the
             # raw row count would diverge on duplicate image_id inputs
             v = run_verify(C.landmark_hits(prints, cfg, numeric_ids=True,
-                                           n_images=n_ids),
+                                           n_images=n_ids,
+                                           store_hashes=store_hashes),
                            cfg, numeric_ids=True)
             # the signatures table carries the persisted iid<->string map
             return C.resolve_numeric_ids(v, signatures)
@@ -253,7 +261,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                 tp = (split_tile_prints(ext2).drop("iid")
                       .join(sig_ids, "image_id"))
             tv = run_tile_verify(C.tile_hits(tp, prints, cfg,
-                                             n_images=n_ids), cfg)
+                                             n_images=n_ids,
+                                             store_hashes=store_hashes), cfg)
             directed = (tv.where(F.col("score") >= cfg.tile_min_score)
                         .select(F.least("id_q", "id_r").alias("id_a"),
                                 F.greatest("id_q", "id_r").alias("id_b"))
@@ -269,6 +278,8 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         verified = fut_v.result()
         fused_pairs = fut_f.result()
         tile_pairs = fut_t.result()
+        if store_hashes is not None:
+            store_hashes.unpersist()
         if extracted is not None:
             extracted.unpersist()
             extracted = None
