@@ -199,16 +199,18 @@ class PanakoConfig:
     # (candidates.landmark_hits / tile_hits): "semi" drops probe rows
     # whose key matches NO stored hash with a broadcast left-semi join
     # against the distinct store-hash set BEFORE the probe exchange —
-    # the DataFrame-API form of Spark's own runtime-filter rewrite
-    # (InjectRuntimeFilter plans the identical semi join when its scan
-    # heuristics fire; they don't see through our checkpoint reads).
-    # Result-exact: the real equi-join still enforces key equality, the
-    # filter only removes rows that could never match. Measured at
-    # 11.6k images: 56% of exploded landmark probe rows and 48% of tile
-    # probe rows match nothing — pure exchange+join overhead. At
-    # 10^12-row scale swap the exact set for a bloom filter (same plan
-    # shape, ~1% false-pass); "none" disables.
-    probe_prefilter: str = "semi"
+    # the DataFrame-API form of Spark's own runtime-filter rewrite.
+    # Result-exact (on/off equivalence test), and 48-56% of probe rows
+    # do match nothing (tools/probe_rate_measure.py) — but REJECTED ON
+    # MEASUREMENT as the default: at 69.7k images the distinct store-
+    # hash set is ~25M keys, the broadcast hash relation falls far out
+    # of cache, and the per-row latency-bound map probe costs more than
+    # the bandwidth-bound exchange volume it saves at BOTH parallelism
+    # levels (pinned local[2] 2409->3040 s, local[8] 786->885 s; full
+    # analysis in BENCH/ATTRIBUTION.md "Fix 4"). Worth revisiting only
+    # with a cache-resident filter (bloom/prefix set) on an engine that
+    # exposes a JVM-side probe expression; "none" is the default.
+    probe_prefilter: str = "none"
 
     def __post_init__(self):
         if self.strategy not in ("panako", "olaf"):

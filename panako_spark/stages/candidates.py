@@ -171,10 +171,13 @@ def _semi_prefilter(probe: DataFrame, key: str, cfg: PanakoConfig,
 
     Map-side: runs BEFORE the probe exchange, so non-matching probe
     rows (measured 48-56% of the pipeline's widest shuffle) never pay
-    exchange write+read+join. The distinct-hash build is ~25-55% of the
-    print count (8-byte longs), well inside broadcast range even at
-    40M prints; at cluster scale the same plan ships a bloom filter
-    instead of the exact set."""
+    exchange write+read+join. OFF BY DEFAULT — rejected on measurement:
+    at 69.7k images the ~25M-key broadcast hash relation is far larger
+    than cache, and the latency-bound per-row probe cost exceeded the
+    exchange savings at both pinned parallelism levels (local[2]
+    2409->3040 s, local[8] 786->885 s; BENCH/ATTRIBUTION.md "Fix 4").
+    Kept as an option because the plan shape is the right one for an
+    engine with a cache-resident runtime-filter probe (bloom/prefix)."""
     if cfg.probe_prefilter != "semi":
         return probe
     hs = store_hashes if store_hashes is not None \
