@@ -296,7 +296,7 @@ def run_level(cpus: int, n_base: int, mode: str,
     try:
         out = subprocess.run(
             cmd,
-            capture_output=True, text=True, timeout=5400, check=True,
+            capture_output=True, text=True, timeout=10800, check=True,
             cwd=REPO, env=env)
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
         err = (e.stderr or "")[-3000:] if hasattr(e, "stderr") else ""
