@@ -245,8 +245,8 @@ def _history_section(mode: str, lo: int, hi: int) -> str:
                   f"binds.\n")
     except (OSError, KeyError, ValueError):
         pass
-    return (f"\n### Measurement history — {mode} mode (every pinned "
-            f"pair ever recorded, none dropped)\n\n"
+    return (f"\n### Measurement history — {mode} mode, {lo} -> {hi} "
+            f"cores (every pinned pair ever recorded, none dropped)\n\n"
             f"All pairs below ran the identical protocol on the same "
             f"cached corpus; rows are chronological, so code changes "
             f"land between rows (per-commit attribution in "
@@ -255,6 +255,21 @@ def _history_section(mode: str, lo: int, hi: int) -> str:
             f"| speedup | raw eff | steal {lo}/{hi} |\n"
             f"|---|---|---|---|---|---|---|\n"
             + "\n".join(lines) + "\n" + bw)
+
+
+def _level_pairs_in_log(mode: str) -> list[tuple[int, int]]:
+    """Every (N, 4N) level pair with at least one pinned run of `mode`
+    in the jsonl — so a rewrite of BASELINE.md keeps the history of ALL
+    protocols ever run (2->8 and 1->4), not just the latest
+    invocation's."""
+    try:
+        with open(RUNS_JSONL) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return []
+    lvls = sorted({r["level"] for r in rows
+                   if r.get("mode") == mode and r.get("pinned_cpus")})
+    return [(lo, lo * 4) for lo in lvls if lo * 4 in lvls]
 
 
 def run_level(cpus: int, n_base: int, mode: str,
@@ -556,6 +571,34 @@ def main() -> None:
         f" {summary[m]['efficiency_raw_all_runs']:.3f}).\n"
         + _pair_lines(m)
         for m in modes)
+
+    def _gc_frac_pct(m: str, c: int) -> float:
+        xs = ([x for x in runs[m][c]
+               if x["steal_pct"] <= args.steal_threshold] or runs[m][c])
+        x = xs[0]
+        return (100.0 * x.get("pipeline_gc_ms", 0) / 1000.0
+                / (x["value"] * c))
+
+    sl_notes = []
+    for m in modes:
+        if summary[m]["efficiency_raw"] <= 1.0:
+            continue
+        lo_c, hi_c = levels
+        sl_notes.append(
+            f"\n**Superlinearity disclosure ({m}).** A raw efficiency "
+            f"above 1.0 is NOT extra scaling headroom — it means the "
+            f"local[{lo_c}] denominator is intrinsically handicapped, "
+            f"not that the local[{hi_c}] numerator is fast. With the "
+            f"whole JVM pinned to {lo_c} core(s), the GC threads, "
+            f"Spark's scheduler/heartbeat daemons, netty IO and the "
+            f"Python workers all time-share the worker's own core(s): "
+            f"measured GC alone consumed "
+            f"{_gc_frac_pct(m, lo_c):.2f}% of core-seconds at "
+            f"local[{lo_c}] vs {_gc_frac_pct(m, hi_c):.2f}% at "
+            f"local[{hi_c}]. The honest reading is efficiency ~1.0 "
+            f"(no scaling loss detectable at this pair), and the "
+            f"number above must not be quoted as >1.\n")
+    superlinear_note = "".join(sl_notes)
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
@@ -639,7 +682,39 @@ preferred numbers — see the `pairs` array in the raw JSON.
 
 (efficiency = thr(4N) / (4 x thr(N)), strong scaling on fixed input;
 target >= 0.8 per BASELINE.json.)
-{chr(10).join(_history_section(m, args.n, 4 * args.n) for m in modes)}
+{superlinear_note}{chr(10).join(
+    _history_section(m, lo, hi)
+    for m in modes for lo, hi in (_level_pairs_in_log(m)
+                                  or [(args.n, 4 * args.n)]))}
+## Reading the two level-pairs together
+
+The same job, same 69.7k-image corpus, same protocol was run at BOTH
+sanctioned N->4N pairs, and they bracket the truth from opposite sides:
+
+- **1 -> 4 cores** (headline): raw efficiency ~1.0 (measured slightly
+  above 1, see the superlinearity disclosure — the 1-core leg is
+  handicapped, so ~1.0 is the honest claim). At 4 pinned processes,
+  per-process DRAM bandwidth barely degrades (10.7 -> 9.9 GB/s per the
+  STREAM-triad probe), so this pair isolates the ENGINE's scaling:
+  partitioning, shuffle and scheduling lose nothing measurable from
+  N to 4N.
+- **2 -> 8 cores** (secondary, 6-pair history below): converged to
+  3.07x (raw 0.767) against a same-window pure-CPU ceiling of ~3.9x
+  and a DRAM-triad ceiling of 3.92x at 8 procs. Stage timings show the
+  shortfall is concentrated in the memory-streaming concurrent phase
+  (its core-seconds inflate 3172 -> 4001 going 2 -> 8 procs), i.e. the
+  shared-DRAM-bus artifact of co-locating 8 processes on one host —
+  not shuffle, skew or scheduling, which the 1 -> 4 pair shows are
+  clean. On the deployment target (N vs 4N executors, each with its
+  own memory channels) this term does not exist.
+
+One optimization was REJECTED by this protocol for inflating the ratio
+while lowering throughput (a broadcast semi probe pre-filter: slower at
+both levels, but slower MORE at the small level, so "efficiency" rose)
+— see "Fix 4 (rejected)" in BENCH/ATTRIBUTION.md. The acceptance rule
+is throughput-first: no change ships that improves the ratio by
+hurting the small level.
+
 No real cluster exists in this sandbox; per the north rule's sanctioned
 substitute this evidences the two-cluster-size criterion by running the
 same job at two local parallelism levels on the same input.
