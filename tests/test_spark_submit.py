@@ -22,6 +22,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = shutil.which("spark-submit")
 
 
+def test_checked_in_pyfiles_zip_is_fresh(tmp_path):
+    """dist/panako_spark.zip is the artifact the north rule ships; the
+    build is deterministic (sorted members, fixed timestamps), so a
+    byte-compare against a fresh build catches a stale checked-in zip."""
+    sys.path.insert(0, REPO)
+    from tools.make_pyfiles import OUT, build
+
+    fresh = build(str(tmp_path / "fresh.zip"))
+    with open(OUT, "rb") as a, open(fresh, "rb") as b:
+        assert a.read() == b.read(), (
+            "dist/panako_spark.zip is stale vs panako_spark/ sources — "
+            "rebuild with `python tools/make_pyfiles.py`")
+
+
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_pyfiles_end_to_end(tmp_path):
     sys.path.insert(0, REPO)
