@@ -368,6 +368,14 @@ def main() -> None:
     ap.add_argument("--steal-threshold", type=float, default=5.0,
                     help="max %% hypervisor steal for a run to count as "
                          "clean")
+    ap.add_argument("--quiet-wait-s", type=float, default=600.0,
+                    help="max seconds to wait for a quiet (low-steal) "
+                         "window before starting a pair anyway")
+    ap.add_argument("--start-pair", type=int, default=0,
+                    help="initial pair index: lets a follow-up "
+                         "invocation continue the level-order "
+                         "alternation (odd index = big level first) "
+                         "and pair numbering of an earlier session")
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning (pinning is the "
                          "default: it is what makes local[N] a faithful "
@@ -391,14 +399,15 @@ def main() -> None:
     for mode in modes:
         key = "image_store" if mode == "store" else "image_dedup_pipeline"
         max_pairs = args.max_pairs or args.repeats * 3
-        pair = 0
-        while pair < max_pairs:
+        pair = args.start_pair
+        while pair < args.start_pair + max_pairs:
             if (args.budget_s is not None
                     and time.monotonic() - t_budget0 > args.budget_s):
                 print(f"[{mode}] wall-clock budget exhausted after "
                       f"{pair} pairs", flush=True)
                 break
-            probe = wait_for_quiet(args.steal_threshold)
+            probe = wait_for_quiet(args.steal_threshold,
+                                   max_wait_s=args.quiet_wait_s)
             # ceiling measured IN THE SAME WINDOW as the pair it gates:
             # the VERDICT flagged a startup-only ceiling (4.34x,
             # superlinear => itself steal-distorted) as internally
