@@ -700,16 +700,28 @@ target >= 0.8 per BASELINE.json.)
 The same job, same 69.7k-image corpus, same protocol was run at BOTH
 sanctioned N->4N pairs, and they bracket the truth from opposite sides:
 
-- **1 -> 4 cores** (headline): raw efficiency ~1.0 (measured slightly
-  above 1, see the superlinearity disclosure — the 1-core leg is
-  handicapped, so ~1.0 is the honest claim). At 4 pinned processes,
+- **1 -> 4 cores** (headline): two clean pairs, raw efficiency 1.073
+  and 0.864, median ~0.97 — both clear the >= 0.8 target on raw
+  numbers, no ceiling normalization needed (see the 1 -> 4 history
+  above). Pair 1's reading above 1.0 is a 1-core-leg handicap (GC and
+  Spark's daemon threads time-share the single pinned core — GC alone
+  0.80% of core-seconds at local[1] vs 0.15% at local[4]), not real
+  headroom. Pair 2 ran in a noisier evening window: its local[4] leg
+  was 17% slower than pair 1's at equally negligible (<0.3%) steal —
+  same-host co-tenant DRAM traffic is invisible to the steal gate,
+  which prices the 4-core leg more than the 1-core leg and pulls the
+  ratio down. The two pairs therefore bracket the engine's true 1->4
+  efficiency from opposite sides at ~0.9-1.0. At 4 pinned processes
   per-process DRAM bandwidth barely degrades (10.7 -> 9.9 GB/s per the
-  STREAM-triad probe), so this pair isolates the ENGINE's scaling:
-  partitioning, shuffle and scheduling lose nothing measurable from
-  N to 4N.
-- **2 -> 8 cores** (secondary, 6-pair history below): converged to
-  3.07x (raw 0.767) against a same-window pure-CPU ceiling of ~3.9x
-  and a DRAM-triad ceiling of 3.92x at 8 procs. Stage timings show the
+  STREAM-triad probe), so this level-pair isolates the ENGINE's
+  scaling: partitioning, shuffle and scheduling lose nothing
+  measurable from N to 4N.
+- **2 -> 8 cores** (secondary, 7-pair history above): converged to
+  3.07x (raw 0.767) against pair 6's same-window pure-CPU ceiling of
+  3.92x (vs-ceiling 0.78) and a 2->8 DRAM-triad ceiling of 3.28x — a
+  fully memory-streaming-bound job could do no better than 3.28x here,
+  and this job mixes compute with streaming, so its true ceiling lies
+  between the two. Stage timings show the
   shortfall is concentrated in the memory-streaming concurrent phase
   (its core-seconds inflate 3172 -> 4001 going 2 -> 8 procs), i.e. the
   shared-DRAM-bus artifact of co-locating 8 processes on one host —
