@@ -257,6 +257,41 @@ def _history_section(mode: str, lo: int, hi: int) -> str:
             + "\n".join(lines) + "\n" + bw)
 
 
+def _clean_eff_phrase(mode: str, lo: int, hi: int, thr: float) -> str:
+    """Narrative phrase for the clean-pair raw efficiencies of one
+    level pair, computed from the jsonl so the standing section never
+    goes stale as pairs accumulate."""
+    try:
+        with open(RUNS_JSONL) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return "no clean pairs recorded yet"
+    rows = [r for r in rows
+            if r.get("mode") == mode and r.get("pinned_cpus")
+            and r.get("level") in (lo, hi)]
+    effs, i = [], 0
+    while i + 1 < len(rows):
+        a, b = rows[i], rows[i + 1]
+        if {a["level"], b["level"]} == {lo, hi}:
+            small = a if a["level"] == lo else b
+            big = b if small is a else a
+            if (small["steal_pct"] <= thr and big["steal_pct"] <= thr):
+                effs.append(big["images_per_sec"]
+                            / small["images_per_sec"] / (hi / lo))
+            i += 2
+        else:
+            i += 1
+    if not effs:
+        return "no clean pairs recorded yet"
+    med = statistics.median(effs)
+    lst = ", ".join(f"{e:.3f}" for e in effs)
+    n_over = sum(1 for e in effs if e >= 0.8)
+    return (f"{len(effs)} clean pair(s), raw efficiency {lst} "
+            f"(median {med:.2f}); {n_over}/{len(effs)} clear the "
+            f">= 0.8 target on raw numbers, no ceiling normalization "
+            f"needed")
+
+
 def _level_pairs_in_log(mode: str) -> list[tuple[int, int]]:
     """Every (N, 4N) level pair with at least one pinned run of `mode`
     in the jsonl — so a rewrite of BASELINE.md keeps the history of ALL
@@ -700,18 +735,17 @@ target >= 0.8 per BASELINE.json.)
 The same job, same 69.7k-image corpus, same protocol was run at BOTH
 sanctioned N->4N pairs, and they bracket the truth from opposite sides:
 
-- **1 -> 4 cores** (headline): two clean pairs, raw efficiency 1.073
-  and 0.864, median ~0.97 — both clear the >= 0.8 target on raw
-  numbers, no ceiling normalization needed (see the 1 -> 4 history
-  above). Pair 1's reading above 1.0 is a 1-core-leg handicap (GC and
+- **1 -> 4 cores** (headline): {_clean_eff_phrase('full', 1, 4,
+    args.steal_threshold)} — see the 1 -> 4 history
+  above. A reading above 1.0 is a 1-core-leg handicap (GC and
   Spark's daemon threads time-share the single pinned core — GC alone
   0.80% of core-seconds at local[1] vs 0.15% at local[4]), not real
   headroom. Pair 2 ran in a noisier evening window: its local[4] leg
   was 17% slower than pair 1's at equally negligible (<0.3%) steal —
   same-host co-tenant DRAM traffic is invisible to the steal gate,
   which prices the 4-core leg more than the 1-core leg and pulls the
-  ratio down. The two pairs therefore bracket the engine's true 1->4
-  efficiency from opposite sides at ~0.9-1.0. At 4 pinned processes
+  ratio down. The quiet and noisy windows therefore bracket the
+  engine's true 1->4 efficiency from opposite sides at ~0.9-1.0. At 4 pinned processes
   per-process DRAM bandwidth barely degrades (10.7 -> 9.9 GB/s per the
   STREAM-triad probe), so this level-pair isolates the ENGINE's
   scaling: partitioning, shuffle and scheduling lose nothing
