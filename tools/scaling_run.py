@@ -614,6 +614,9 @@ def main() -> None:
         f" {summary[m]['speedup_all_runs']:.2f}x (raw"
         f" {summary[m]['efficiency_raw_all_runs']:.3f}).\n"
         + _pair_lines(m)
+        + f"\n- **{m} (all recorded pairs, this protocol)**: "
+        + _clean_eff_phrase(m, levels[0], levels[1],
+                            args.steal_threshold) + "."
         for m in modes)
 
     def _gc_frac_pct(m: str, c: int) -> float:
@@ -764,9 +767,12 @@ sanctioned N->4N pairs, and they bracket the truth from opposite sides:
   own memory channels) this term does not exist.
 
 One optimization was REJECTED by this protocol for inflating the ratio
-while lowering throughput (a broadcast semi probe pre-filter: slower at
-both levels, but slower MORE at the small level, so "efficiency" rose)
-— see "Fix 4 (rejected)" in BENCH/ATTRIBUTION.md. The acceptance rule
+while lowering throughput: the broadcast semi probe pre-filter — pair 7
+in the 2 -> 8 history above, slower than pair 6 at BOTH levels (22.93
+vs 28.93 img/s at local[2], 78.80 vs 88.70 at local[8]) yet "better"
+as a ratio (0.859) because it hurt the small level more — see "Fix 4
+(rejected)" in BENCH/ATTRIBUTION.md; pair 6 is the shipping
+configuration's clean 2 -> 8 measurement. The acceptance rule
 is throughput-first: no change ships that improves the ratio by
 hurting the small level.
 
