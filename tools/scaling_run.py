@@ -292,6 +292,24 @@ def _clean_eff_phrase(mode: str, lo: int, hi: int, thr: float) -> str:
             f"needed")
 
 
+def _modes_in_log(extra: list[str]) -> list[str]:
+    """Canonically-ordered union of this invocation's modes and every
+    mode with pinned runs in the jsonl — so a store-only rewrite keeps
+    the full-mode history sections and vice versa."""
+    found: set[str] = set(extra)
+    try:
+        with open(RUNS_JSONL) as f:
+            for ln in f:
+                if ln.strip():
+                    r = json.loads(ln)
+                    if r.get("pinned_cpus"):
+                        found.add(r.get("mode"))
+    except OSError:
+        pass
+    return ([m for m in ("store", "full") if m in found]
+            + sorted(found - {"store", "full"}))
+
+
 def _level_pairs_in_log(mode: str) -> list[tuple[int, int]]:
     """Every (N, 4N) level pair with at least one pinned run of `mode`
     in the jsonl — so a rewrite of BASELINE.md keeps the history of ALL
@@ -618,6 +636,11 @@ def main() -> None:
         + _clean_eff_phrase(m, levels[0], levels[1],
                             args.steal_threshold) + "."
         for m in modes)
+    eff_lines += "".join(
+        f"\n- **{m} (all recorded pairs, {lo} -> {hi} cores)**: "
+        + _clean_eff_phrase(m, lo, hi, args.steal_threshold) + "."
+        for m in _modes_in_log(modes) if m not in modes
+        for lo, hi in _level_pairs_in_log(m))
 
     def _gc_frac_pct(m: str, c: int) -> float:
         xs = ([x for x in runs[m][c]
@@ -731,8 +754,9 @@ preferred numbers — see the `pairs` array in the raw JSON.
 target >= 0.8 per BASELINE.json.)
 {superlinear_note}{chr(10).join(
     _history_section(m, lo, hi)
-    for m in modes for lo, hi in (_level_pairs_in_log(m)
-                                  or [(args.n, 4 * args.n)]))}
+    for m in _modes_in_log(modes)
+    for lo, hi in (_level_pairs_in_log(m)
+                   or [(args.n, 4 * args.n)]))}
 ## Reading the two level-pairs together
 
 The same job, same 69.7k-image corpus, same protocol was run at BOTH
