@@ -24,6 +24,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# (path -> (n_rows, dim)) probe memo: the ANN operators need the corpus
+# size (tier pick) and vector dimensionality (hyperplane/centroid
+# literals), which would otherwise cost one count()/first() driver
+# action PER CALL. The table is immutable within a session (parquet
+# fixtures / Iceberg snapshots), so probe once per path per process.
+# Callers may also pass n/dim hints to skip the probe entirely.
+_EMB_META: dict[str, tuple[int, int]] = {}
+
+
+def _emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    meta = _EMB_META.get(sf_dir)
+    if meta is None:
+        emb = _emb(spark, sf_dir)
+        meta = (emb.count(),
+                len(emb.select("embedding").first()["embedding"]))
+        _EMB_META[sf_dir] = meta
+    return meta
+
+
 def _cosine(a: str, b: str):
     """Column expr: cosine of two array<float> columns in double.
 
@@ -80,7 +99,8 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
                           threshold: float = 0.4,
                           exact_limit: int = 1000,
-                          broadcast_limit: int = 1_000_000) -> DataFrame:
+                          broadcast_limit: int = 1_000_000,
+                          n: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup channel), tiered:
 
     * n <= exact_limit — expression-level cross join (zip_with/aggregate,
@@ -115,7 +135,8 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str,
 
     log = logging.getLogger("panako_spark.ann")
     emb = _emb(spark, sf_dir)
-    n = emb.count()
+    if n is None:
+        n = _emb_meta(spark, sf_dir)[0]
     if n <= exact_limit:
         log.info("cosine_near_dup_pairs tier=expression n=%d", n)
         unit = emb.select("vec_id", _unit("embedding").alias("ue"))
@@ -285,6 +306,9 @@ def train_ivf_centroids(sample: np.ndarray, n_cells: int,
     return C
 
 
+_IVF_CENTROIDS: dict[tuple[str, int], np.ndarray] = {}
+
+
 def _ivf_sample_spark(emb: DataFrame) -> np.ndarray:
     rows = (emb.where(F.col("vec_id") < IVF_SAMPLE)
             .select("vec_id", "embedding").collect())
@@ -306,7 +330,8 @@ def ivf_sample_duckdb(sf_dir: str) -> np.ndarray:
 
 def ivf_topk(spark: SparkSession, sf_dir: str, n_cells: int = 16,
              n_probe: int = 8, n_queries: int = 10, k: int = 5,
-             trained: bool = True, n_assign: int = 2) -> DataFrame:
+             trained: bool = True, n_assign: int = 2,
+             dim: int | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: index every vector under its `n_assign`
     nearest of `n_cells` centroids (redundant assignment), then search
     only the query's `n_probe` nearest cells.
@@ -330,9 +355,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_cells: int = 16,
     fraction. All JVM-side after the literal centroids.
     """
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = _emb_meta(spark, sf_dir)[1]
     if trained:
-        cents = train_ivf_centroids(_ivf_sample_spark(emb), n_cells)
+        ck = (sf_dir, n_cells)
+        if ck not in _IVF_CENTROIDS:  # same immutability argument as
+            _IVF_CENTROIDS[ck] = (    # _EMB_META: train once per path
+                train_ivf_centroids(_ivf_sample_spark(emb), n_cells))
+        cents = _IVF_CENTROIDS[ck]
     else:
         cents = _hyperplanes(dim, n_cells, seed=0xCE77)  # unit-ish rows
     cent_lits = F.array(*[
@@ -377,14 +407,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_cells: int = 16,
 
 def lsh_bucketed_neighbors(spark: SparkSession, sf_dir: str,
                            n_bits: int = 16, bands: int = 4,
-                           threshold: float = 0.4) -> DataFrame:
+                           threshold: float = 0.4,
+                           dim: int | None = None) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets -> within-bucket exact
     cosine. Collision probability per bit = 1 - angle/pi; banding the
     sign pattern (bands x n_bits/bands) trades recall vs candidates
     exactly like the MinHash bands (candidates.pairs_from_keys pattern).
     """
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = _emb_meta(spark, sf_dir)[1]
     planes = _hyperplanes(dim, n_bits)
     # sign bits via a literal array of hyperplanes: JVM-side dot products
     plane_lits = F.array(*[

@@ -25,8 +25,9 @@ so the banded path returns the identical result set as all-pairs:
      (the overlap can't exceed the smaller area), so entities band on
      floor(ln A / ln(1/tau)) with {b, b+1} two-key probing: any pair
      within a tau area ratio is guaranteed a key collision. Runs through
-     the same salted `pairs_from_keys` primitive as every other channel
-     (hot buckets capped with disclosed drops).
+     the same salted `pairs_from_keys` primitive as every other channel,
+     but because this operator claims exactness, an over-cap (hot) area
+     bucket RAISES rather than capping with disclosed drops.
   2. sorted-overlap gate — by the Hardy-Littlewood rearrangement
      inequality, sum(min(sort(q), sort(r))) >= max_shift overlap, and
      the sorted histogram is shift-invariant; candidates failing
@@ -45,11 +46,14 @@ join with neither gate.
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 PCH_BINS = 24
 PCH_MATCH_THRESHOLD = 0.8  # ~p99 of the sf0.01 score
@@ -76,7 +80,8 @@ def event_hour_histograms(spark: SparkSession, sf_dir: str,
 
 def pch_circular_match(spark: SparkSession, sf_dir: str,
                        bins: int = PCH_BINS,
-                       threshold: float = PCH_MATCH_THRESHOLD) -> DataFrame:
+                       threshold: float = PCH_MATCH_THRESHOLD,
+                       pair_cap: int = 100_000) -> DataFrame:
     """All entity pairs whose circular-shift min-overlap match score
     meets the threshold -> (id_a, id_b, match, best_shift).
 
@@ -89,7 +94,10 @@ def pch_circular_match(spark: SparkSession, sf_dir: str,
     matcher over surviving pair rows in batched mapInPandas. Both gates
     are provably recall-preserving, so the result set is IDENTICAL to
     the all-pairs scan at every corpus size and the DuckDB all-pairs
-    oracle stays bit-exact. Nothing is collected on the driver.
+    oracle stays bit-exact. The only driver action is a one-row pair-
+    stats collect that guards the exactness claim: if any area bucket
+    overflows `pair_cap` the call RAISES instead of silently dropping
+    cross-salt pairs (no entity/pair data ever reaches the driver).
     `pch_circular_match_sql` keeps the pure-expression all-pairs form
     (the oracle tier / micro-corpus reference).
     """
@@ -110,12 +118,32 @@ def pch_circular_match(spark: SparkSession, sf_dir: str,
     from panako_spark.stages.candidates import pairs_from_keys
 
     caches: list = []
-    cand, _stats = pairs_from_keys(keyed, cap=100_000, id_col="user_id",
-                                   caches=caches)
+    cand, stats = pairs_from_keys(keyed, cap=pair_cap, id_col="user_id",
+                                  caches=caches)
+    # This operator claims EXACT equivalence to the all-pairs scan, so a
+    # capped (salted) area bucket is a correctness deviation, not an
+    # approximation: pairs straddling two salt sub-buckets would drop
+    # SILENTLY. Materialize the one-row stats aggregate (tiny: counts is
+    # cached and has one row per area-bucket key) and fail loudly when
+    # any bucket overflows, instead of letting the result set shrink.
+    srow = stats.collect()[0]
+    _LOG.info("pch area-band pair stats: n_keys=%d n_hot_keys=%d "
+              "dropped_cross_pairs_estimate=%d (cap=%d)",
+              srow["n_keys"], srow["n_hot_keys"],
+              srow["dropped_cross_pairs_estimate"], pair_cap)
     for c in caches:
-        # stats are unused here so the counts relation is read once —
-        # drop the cache mark immediately rather than leak it
         c.unpersist()
+    if srow["n_hot_keys"] > 0:
+        raise ValueError(
+            f"pch_circular_match: {srow['n_hot_keys']} area bucket(s) "
+            f"exceed pair_cap={pair_cap} (~"
+            f"{srow['dropped_cross_pairs_estimate']} candidate pairs "
+            "would be dropped silently, breaking the operator's exact "
+            "all-pairs equivalence). Raise pair_cap above the largest "
+            "bucket's entity count — note the exact matcher is "
+            "inherently quadratic within an area band, so at cluster "
+            "scale a bucket this hot means the corpus is too "
+            "homogeneous for the band gate and the cap must cover it.")
 
     # 2. join per-entity arrays to candidates (entity relation is tiny —
     #    one 24-int row per entity; broadcast at bench scale, shuffle

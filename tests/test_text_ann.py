@@ -104,3 +104,42 @@ def test_pch_kernel_matches_expression_form(spark):
     b = {tuple(r) for r in
          pch_circular_match_sql(spark, SF, threshold=0.6).collect()}
     assert a == b and len(a) > 0
+
+
+def test_pch_raises_on_overflowing_area_bucket(spark):
+    """PCH claims EXACT all-pairs equivalence, so an area bucket larger
+    than pair_cap must raise loudly (silently dropping cross-salt pairs
+    would shrink the result set). The events fixture is a degenerate
+    near-equal-area corpus — nearly every entity lands in one bucket —
+    so a tiny cap must overflow it."""
+    from panako_spark.operators.pch import pch_circular_match
+
+    with pytest.raises(ValueError, match="pair_cap"):
+        pch_circular_match(spark, SF, threshold=0.6, pair_cap=2).collect()
+
+
+def test_ann_repeat_calls_run_no_probe_actions(spark, monkeypatch):
+    """VERDICT r3 #7: the count()/first() metadata probes must run at
+    most once per embeddings path in-process. After a first call warms
+    the memo, further operator invocations must not touch the driver-
+    action probes at all (patched to raise here)."""
+    from pyspark.sql import DataFrame
+
+    ANN.lsh_bucketed_neighbors(spark, SF)       # warm (probe allowed)
+    ANN.ivf_topk(spark, SF, n_queries=2, k=2)   # warm centroid memo
+    assert SF in ANN._EMB_META and (SF, 16) in ANN._IVF_CENTROIDS
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-action probe ran on a repeat call")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    monkeypatch.setattr(ANN, "_ivf_sample_spark", _boom)
+    # plan construction for all three operators: no probe jobs
+    ANN.lsh_bucketed_neighbors(spark, SF)
+    ANN.ivf_topk(spark, SF, n_queries=2, k=2)
+    ANN.cosine_near_dup_pairs(spark, SF)
+    # and the hints skip the probe even on a cold path
+    ANN._EMB_META.pop(SF)
+    ANN.cosine_near_dup_pairs(spark, SF, n=500)
+    ANN.lsh_bucketed_neighbors(spark, SF, dim=32)
