@@ -70,3 +70,65 @@ def test_disjoint_activity_does_not_move_scoped_busy():
     leaked = b1 - b0
     assert burned >= 50, burned                 # ~1s at 100Hz minus noise
     assert leaked <= burned / 2, (leaked, burned)
+
+
+def _row(mode, level, thr_img, steal, pair=None, thr_at_write=None):
+    r = {"mode": mode, "level": level, "images_per_sec": thr_img,
+         "steal_pct": steal, "pinned_cpus": f"0-{level - 1}"}
+    if pair is not None:
+        r["protocol_pair"] = list(pair)
+    if thr_at_write is not None:
+        r["steal_threshold_at_write"] = thr_at_write
+    return r
+
+
+def _write_jsonl(tmp_path, rows):
+    import json
+
+    p = tmp_path / "runs.jsonl"
+    p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    return str(p)
+
+
+def test_clean_eff_phrase_pairs_by_protocol_tag(tmp_path, monkeypatch):
+    """ADVICE r3: overlapping protocols ({1,4} and {4,16}) must not
+    mispair — tagged rows pair only within their own protocol, and each
+    row is gated by ITS OWN write-time threshold, not the caller's."""
+    import scaling_run as SR
+
+    rows = [
+        # protocol (1,4): one clean pair, eff = 40/10/4 = 1.0
+        _row("full", 1, 10.0, 0.1, pair=(1, 4), thr_at_write=5.0),
+        _row("full", 4, 40.0, 0.2, pair=(1, 4), thr_at_write=5.0),
+        # protocol (4,16): a level-4 row that adjacency pairing would
+        # have glued onto the (1,4) history
+        _row("full", 4, 42.0, 0.1, pair=(4, 16), thr_at_write=5.0),
+        _row("full", 16, 100.0, 0.3, pair=(4, 16), thr_at_write=5.0),
+        # a (1,4) pair recorded under a STRICTER write-time gate: its
+        # 3% steal leg was contaminated THEN and must stay excluded
+        # even when the caller's current threshold is looser
+        _row("full", 1, 10.0, 3.0, pair=(1, 4), thr_at_write=1.0),
+        _row("full", 4, 20.0, 0.2, pair=(1, 4), thr_at_write=1.0),
+    ]
+    monkeypatch.setattr(SR, "RUNS_JSONL", _write_jsonl(tmp_path, rows))
+    p14 = SR._clean_eff_phrase("full", 1, 4, 5.0)
+    assert "1 clean pair(s)" in p14 and "1.000" in p14
+    assert "no ceiling normalization needed" in p14
+    p416 = SR._clean_eff_phrase("full", 4, 16, 5.0)
+    assert "1 clean pair(s)" in p416 and "0.595" in p416
+    # sub-0.8 pair: the unconditional claim must NOT appear
+    assert "no ceiling normalization needed" not in p416
+    assert "ceiling normalization" in p416
+    assert SR._level_pairs_in_log("full") == [(1, 4), (4, 16)]
+
+
+def test_clean_eff_phrase_legacy_rows_use_adjacency(tmp_path, monkeypatch):
+    """Untagged (pre-round-4) rows keep the old adjacency pairing and
+    the caller's threshold, so recorded history stays readable."""
+    import scaling_run as SR
+
+    rows = [_row("store", 2, 10.0, 0.1), _row("store", 8, 36.0, 0.2)]
+    monkeypatch.setattr(SR, "RUNS_JSONL", _write_jsonl(tmp_path, rows))
+    ph = SR._clean_eff_phrase("store", 2, 8, 5.0)
+    assert "1 clean pair(s)" in ph and "0.900" in ph
+    assert SR._level_pairs_in_log("store") == [(2, 8)]

@@ -266,16 +266,25 @@ def _clean_eff_phrase(mode: str, lo: int, hi: int, thr: float) -> str:
             rows = [json.loads(ln) for ln in f if ln.strip()]
     except OSError:
         return "no clean pairs recorded yet"
+    # prefer the write-time protocol tag (ADVICE r3: adjacency-only
+    # pairing mispairs overlapping protocols like {1,4} + {4,16}, and
+    # reclassifying history with the CURRENT --steal-threshold silently
+    # rewrites which past pairs count as clean); legacy untagged rows
+    # keep the adjacency inference and the caller's threshold
     rows = [r for r in rows
             if r.get("mode") == mode and r.get("pinned_cpus")
-            and r.get("level") in (lo, hi)]
+            and (r["protocol_pair"] == [lo, hi] if "protocol_pair" in r
+                 else r.get("level") in (lo, hi))]
     effs, i = [], 0
     while i + 1 < len(rows):
         a, b = rows[i], rows[i + 1]
         if {a["level"], b["level"]} == {lo, hi}:
             small = a if a["level"] == lo else b
             big = b if small is a else a
-            if (small["steal_pct"] <= thr and big["steal_pct"] <= thr):
+            if (small["steal_pct"] <= small.get("steal_threshold_at_write",
+                                                thr)
+                    and big["steal_pct"] <= big.get(
+                        "steal_threshold_at_write", thr)):
                 effs.append(big["images_per_sec"]
                             / small["images_per_sec"] / (hi / lo))
             i += 2
@@ -286,10 +295,18 @@ def _clean_eff_phrase(mode: str, lo: int, hi: int, thr: float) -> str:
     med = statistics.median(effs)
     lst = ", ".join(f"{e:.3f}" for e in effs)
     n_over = sum(1 for e in effs if e >= 0.8)
-    return (f"{len(effs)} clean pair(s), raw efficiency {lst} "
+    # the tail claim must match the numbers it annotates: only say "no
+    # ceiling normalization needed" when EVERY clean pair clears the
+    # target raw (ADVICE r3: the unconditional phrase asserted it for a
+    # 1/7 pair set)
+    head = (f"{len(effs)} clean pair(s), raw efficiency {lst} "
             f"(median {med:.2f}); {n_over}/{len(effs)} clear the "
-            f">= 0.8 target on raw numbers, no ceiling normalization "
-            f"needed")
+            f">= 0.8 target on raw numbers")
+    if n_over == len(effs):
+        return head + ", no ceiling normalization needed"
+    return (head + "; the rest rely on the same-window ceiling "
+            "normalization (see the history section's measured "
+            "ceilings)")
 
 
 def _modes_in_log(extra: list[str]) -> list[str]:
@@ -320,13 +337,20 @@ def _level_pairs_in_log(mode: str) -> list[tuple[int, int]]:
             rows = [json.loads(ln) for ln in f if ln.strip()]
     except OSError:
         return []
+    tagged = {tuple(r["protocol_pair"]) for r in rows
+              if r.get("mode") == mode and r.get("pinned_cpus")
+              and r.get("protocol_pair")}
     lvls = sorted({r["level"] for r in rows
-                   if r.get("mode") == mode and r.get("pinned_cpus")})
-    return [(lo, lo * 4) for lo in lvls if lo * 4 in lvls]
+                   if r.get("mode") == mode and r.get("pinned_cpus")
+                   and "protocol_pair" not in r})
+    return sorted(tagged | {(lo, lo * 4) for lo in lvls
+                            if lo * 4 in lvls})
 
 
 def run_level(cpus: int, n_base: int, mode: str,
-              pin: bool = True) -> dict | None:
+              pin: bool = True,
+              protocol_pair: tuple[int, int] | None = None,
+              steal_threshold: float | None = None) -> dict | None:
     """One bench run at one parallelism level; None on subprocess failure
     (a crashed run must cost one pair, never the whole hunt's data —
     learned the hard way when a mid-hunt OOM at 69.7k images killed
@@ -382,6 +406,13 @@ def run_level(cpus: int, n_base: int, mode: str,
             r["steal_pct_aggregate"] = round(
                 100.0 * (s1 - s0) / max(1, t1 - t0), 2)
             r["mode"], r["level"] = mode, cpus
+            # write-time protocol tag + gating threshold (ADVICE r3):
+            # history readers pair/classify from these fields, never by
+            # re-inferring with whatever arguments a LATER rerun uses
+            if protocol_pair is not None:
+                r["protocol_pair"] = list(protocol_pair)
+            if steal_threshold is not None:
+                r["steal_threshold_at_write"] = steal_threshold
             r["pinned_cpus"] = f"0-{cpus - 1}" if pin else None
             r["steal_scope"] = ("pinned_set" if pin else "host")
             r["ts0"], r["ts1"] = round(ts0, 1), round(ts1, 1)
@@ -477,7 +508,9 @@ def main() -> None:
                 f.write(str(os.getpid()))
             try:
                 for cpus in order:  # alternate order pair-to-pair
-                    r = run_level(cpus, n_bases[mode], mode, pin=pin)
+                    r = run_level(cpus, n_bases[mode], mode, pin=pin,
+                                  protocol_pair=(levels[0], levels[1]),
+                                  steal_threshold=args.steal_threshold)
                     if r is None:  # crashed run: forfeit the pair only
                         failed = True
                         break
@@ -642,10 +675,16 @@ def main() -> None:
         for m in _modes_in_log(modes) if m not in modes
         for lo, hi in _level_pairs_in_log(m))
 
-    def _gc_frac_pct(m: str, c: int) -> float:
+    def _gc_frac_pct(m: str, c: int) -> float | None:
+        """GC share of core-seconds for the run BEHIND the quoted clean
+        median (ADVICE r3: xs[0] could disclose a different run's GC
+        than the efficiency it explains); None when no runs exist."""
         xs = ([x for x in runs[m][c]
                if x["steal_pct"] <= args.steal_threshold] or runs[m][c])
-        x = xs[0]
+        if not xs:
+            return None
+        target = summary[m]["median_clean"][c]
+        x = min(xs, key=lambda r: abs(r["images_per_sec"] - target))
         return (100.0 * x.get("pipeline_gc_ms", 0) / 1000.0
                 / (x["value"] * c))
 
@@ -654,6 +693,8 @@ def main() -> None:
         if summary[m]["efficiency_raw"] <= 1.0:
             continue
         lo_c, hi_c = levels
+        if _gc_frac_pct(m, lo_c) is None or _gc_frac_pct(m, hi_c) is None:
+            continue  # nothing recorded to disclose from
         sl_notes.append(
             f"\n**Superlinearity disclosure ({m}).** A raw efficiency "
             f"above 1.0 is NOT extra scaling headroom — it means the "
@@ -757,48 +798,34 @@ target >= 0.8 per BASELINE.json.)
     for m in _modes_in_log(modes)
     for lo, hi in (_level_pairs_in_log(m)
                    or [(args.n, 4 * args.n)]))}
-## Reading the two level-pairs together
+## Reading the level-pairs together
 
-The same job, same 69.7k-image corpus, same protocol was run at BOTH
-sanctioned N->4N pairs, and they bracket the truth from opposite sides:
+Every recorded protocol, recomputed from BENCH/scaling_runs.jsonl at
+generation time (rows pair by their write-time protocol tag and gate
+on their write-time steal threshold, so a rerun with different
+arguments cannot silently reclassify history):
 
-- **1 -> 4 cores** (headline): {_clean_eff_phrase('full', 1, 4,
-    args.steal_threshold)} — see the 1 -> 4 history
-  above. A reading above 1.0 is a 1-core-leg handicap (GC and
-  Spark's daemon threads time-share the single pinned core — GC alone
-  0.80% of core-seconds at local[1] vs 0.15% at local[4]), not real
-  headroom. Pair 2 ran in a noisier evening window: its local[4] leg
-  was 17% slower than pair 1's at equally negligible (<0.3%) steal —
-  same-host co-tenant DRAM traffic is invisible to the steal gate,
-  which prices the 4-core leg more than the 1-core leg and pulls the
-  ratio down. The quiet and noisy windows therefore bracket the
-  engine's true 1->4 efficiency from opposite sides at ~0.9-1.0. At 4 pinned processes
-  per-process DRAM bandwidth barely degrades (10.7 -> 9.9 GB/s per the
-  STREAM-triad probe), so this level-pair isolates the ENGINE's
-  scaling: partitioning, shuffle and scheduling lose nothing
-  measurable from N to 4N.
-- **2 -> 8 cores** (secondary, 7-pair history above): converged to
-  3.07x (raw 0.767) against pair 6's same-window pure-CPU ceiling of
-  3.92x (vs-ceiling 0.78) and a 2->8 DRAM-triad ceiling of 3.28x — a
-  fully memory-streaming-bound job could do no better than 3.28x here,
-  and this job mixes compute with streaming, so its true ceiling lies
-  between the two. Stage timings show the
-  shortfall is concentrated in the memory-streaming concurrent phase
-  (its core-seconds inflate 3172 -> 4001 going 2 -> 8 procs), i.e. the
-  shared-DRAM-bus artifact of co-locating 8 processes on one host —
-  not shuffle, skew or scheduling, which the 1 -> 4 pair shows are
-  clean. On the deployment target (N vs 4N executors, each with its
-  own memory channels) this term does not exist.
+{chr(10).join(
+    f"- **{m} {lo} -> {hi} cores**: "
+    + _clean_eff_phrase(m, lo, hi, args.steal_threshold) + "."
+    for m in _modes_in_log(modes)
+    for lo, hi in _level_pairs_in_log(m))}
 
-One optimization was REJECTED by this protocol for inflating the ratio
-while lowering throughput: the broadcast semi probe pre-filter — pair 7
-in the 2 -> 8 history above, slower than pair 6 at BOTH levels (22.93
-vs 28.93 img/s at local[2], 78.80 vs 88.70 at local[8]) yet "better"
-as a ratio (0.859) because it hurt the small level more — see "Fix 4
-(rejected)" in BENCH/ATTRIBUTION.md; pair 6 is the shipping
-configuration's clean 2 -> 8 measurement. The acceptance rule
-is throughput-first: no change ships that improves the ratio by
-hurting the small level.
+Raw readings above 1.0 are a small-level handicap (superlinearity
+disclosure above), and clean-pair swings below target track same-host
+co-tenant DRAM traffic the steal gate cannot see. The window-by-window
+interpretation of each recorded pair — which stages swung, which legs
+moved, and the measured CPU/DRAM ceilings that bound them — is
+hand-maintained NEXT TO those measurements in BENCH/ATTRIBUTION.md
+("The 1 -> 4 protocol, stage-attributed", "Reading the level-pairs
+together", "Why this term vanishes on a real cluster"), so this
+generated file never restates one-time numbers that go stale as pairs
+accumulate.
+
+The acceptance rule for optimizations is throughput-first: no change
+ships that improves the N -> 4N ratio by hurting absolute throughput
+at either level. One change was rejected by exactly this rule — see
+"Fix 4 (REJECTED)" in BENCH/ATTRIBUTION.md.
 
 No real cluster exists in this sandbox; per the north rule's sanctioned
 substitute this evidences the two-cluster-size criterion by running the
