@@ -80,7 +80,15 @@ class IcebergWriter:
     (tests/test_iceberg_seam.py), and a skipif-gated integration test
     runs the real thing where the runtime jar exists. Reference analog:
     the KV storage engine is the reference's most-exercised code
-    (PanakoStorageKV.java:123-228)."""
+    (PanakoStorageKV.java:123-228).
+
+    `requires_catalog` tells the store whether backend resolution must
+    probe for a configured JVM catalog (True for this default writer —
+    its writeTo/SQL calls need one) or the writer is self-contained
+    (False for io.iceberg_lite.IcebergLiteWriter, which commits table
+    metadata beside the JVM)."""
+
+    requires_catalog = True
 
     def create_namespace(self, spark: SparkSession, catalog: str,
                          namespace: str) -> None:
@@ -111,6 +119,9 @@ class IcebergWriter:
 
     def drop_table(self, spark: SparkSession, name: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.table(name)
 
 
 class CheckpointStore:
@@ -143,7 +154,8 @@ class CheckpointStore:
     def _iceberg(self, spark: SparkSession) -> bool:
         """Resolve the backend once per store (probing needs a session)."""
         if self._use_iceberg is None:
-            ok = iceberg_available(spark, self.iceberg_catalog)
+            ok = (not getattr(self.iceberg, "requires_catalog", True)
+                  or iceberg_available(spark, self.iceberg_catalog))
             if self.backend == "iceberg" and not ok:
                 raise RuntimeError(
                     f"backend='iceberg' requested but catalog "
@@ -246,7 +258,8 @@ class CheckpointStore:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self._iceberg(spark):
-            return spark.table(self.qualified_name(table))
+            return self.iceberg.read_table(spark,
+                                           self.qualified_name(table))
         return spark.read.parquet(self.path(table))
 
     def read_or_compute(self, spark: SparkSession, table: str,
@@ -273,5 +286,6 @@ class CheckpointStore:
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         if self._iceberg(spark):
-            return spark.table(self.qualified_name("lineage"))
+            return self.iceberg.read_table(spark,
+                                           self.qualified_name("lineage"))
         return spark.read.parquet(os.path.join(self.root, "lineage"))
