@@ -68,7 +68,7 @@ def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = GoldenMatcher(cfg)
     grays = {r.image_id: to_gray(r.pixels) for r in rows}
     for r in rows:
-        gm.store_image(r.image_id, grays[r.image_id])
+        gm.store_image(r.image_id, grays[r.image_id], phash=r.phash)
     golden_union = set(gm.dedup_pairs())
     for p in caption_pairs_golden(
             {r.image_id: r.caption for r in rows}, cfg).values():

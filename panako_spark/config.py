@@ -55,6 +55,41 @@ class PanakoConfig:
     min_peak_magnitude: float = 1e-6
     max_peaks_per_image: int = 256   # reference caps event points per frame
                                      # (OlafEventPointProcessor.java:316-324)
+    # Print-density rescue for starved images (landmarks.
+    # prints_with_rescue; the OTA gate-relaxation analog,
+    # OlafStorageKVTest.java:127-137): small images yield too few
+    # prints to ever clear the >=10 aligned-hit verify gates (the
+    # 642-image corpus's residual crop misses all sat at 8-121 prints
+    # vs a 309 median). When the standard windows produce fewer than
+    # print_rescue_floor prints, the peak pick re-runs with the
+    # smaller rescue windows — the dense peak set is a SUPERSET of the
+    # standard one (a 21x7 local max is also an 11x5 local max) and
+    # triplet enumeration is exhaustive-in-window, so existing hashes
+    # are preserved and matches can only be gained. A peak-COUNT floor
+    # was tried first and rejected: typical images have only ~15 peaks,
+    # so any useful peak floor rescued >80% of the corpus and collapsed
+    # precision (7.7k false pairs at 642 images). The print floor
+    # rescues the starved ~20% tail (642-image print-count percentiles:
+    # p5=63, p10=88, p25=152, p50=309); truth recall 0.9846 -> 0.9969
+    # with out-of-clique pairs held at the pre-rescue baseline by the
+    # rescue_min_score composite gate below. Measured numbers pinned in
+    # test_parity_scale.py.
+    print_rescue_floor: int = 130
+    peak_rescue_freq: int = 11
+    peak_rescue_time: int = 5
+    # Precision guard for the rescue: dense prints align spuriously
+    # more often, so a landmark/tile pair with a rescued side ships
+    # only if it clears rescue_strong_score on alignment alone, OR
+    # clears rescue_min_score AND is corroborated by the independent
+    # phash signal (hamming <= rescue_phash_max). Measured at 642
+    # images (floor 130): false rescued-pair scores sit at p50=10 /
+    # p90=15 and random-pair phash hamming at p1=22; the true rescued
+    # pairs score 16-35 with hamming 16-20 (one 36-hamming pair clears
+    # on score 35 alone). Applied identically in the pipeline
+    # (pipeline.rescue_gate) and the golden matcher (_pair_ok).
+    rescue_min_score: int = 15
+    rescue_strong_score: int = 30
+    rescue_phash_max: int = 20
 
     # ---- triplet landmark packing (E6-E7 / E8) ------------------------------
     # Verbatim from Key.java:296-310 (PANAKO_FP_*); the same bounds are
@@ -252,6 +287,7 @@ class PanakoConfig:
             "frame_width", "frame_step", "freq_samples", "log_freq",
             "log_fmin_bin", "max_filter_freq", "max_filter_time",
             "min_peak_magnitude", "max_peaks_per_image",
+            "print_rescue_floor", "peak_rescue_freq", "peak_rescue_time",
             "min_time_distance", "max_time_distance", "min_freq_distance",
             "max_freq_distance", "max_prints_per_image",
             "strategy", "olaf_eps_per_fp",

@@ -192,14 +192,50 @@ def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
             rows[:, 2].astype(np.int32))
 
 
+def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig):
+    """Peak pick + shingling with the print-density rescue (config.py
+    `print_rescue_floor` comment has the full rationale): if the
+    standard windows yield a print count too small to ever clear the
+    >=10 aligned-hit gates, re-pick with the smaller rescue windows.
+    The dense peak set is a superset of the standard one and triplet
+    enumeration is exhaustive-in-window, so rescue never loses a hash
+    the standard extraction had (modulo the max_prints cap).
+    Deterministic in content alone, and the single extraction entry
+    point for the store path, the tile channel and the golden matcher
+    — parity by construction.
+
+    Returns (hash, t1, f1, rescued). Rescued images trade precision for
+    the added density (their dense prints align spuriously more often),
+    so pairs with a rescued side are verified at the STRICTER
+    cfg.rescue_min_score gate downstream (pipeline + golden matcher) —
+    measured false-pair scores at 642 images cluster at 8-15 while the
+    rescued true pairs clear 20."""
+    from panako_spark.kernels.peaks import find_peaks
+
+    h, t1, f1 = landmarks(*find_peaks(spec, cfg), cfg)
+    rescued = (0 < h.size < cfg.print_rescue_floor
+               and (cfg.peak_rescue_time < cfg.max_filter_time
+                    or cfg.peak_rescue_freq < cfg.max_filter_freq))
+    if rescued:
+        h, t1, f1 = landmarks(
+            *find_peaks(spec, cfg, windows=(cfg.peak_rescue_time,
+                                            cfg.peak_rescue_freq)),
+            cfg)
+    return h, t1, f1, rescued
+
+
 def extract_prints(gray: np.ndarray, cfg: PanakoConfig):
     """Full E1-E7 chain: luma image -> (hash, t1, f1) arrays."""
     from panako_spark.kernels.spectral import spectrogram
-    from panako_spark.kernels.peaks import find_peaks
 
-    spec = spectrogram(gray, cfg)
-    t, f, m = find_peaks(spec, cfg)
-    return landmarks(t, f, m, cfg)
+    return prints_with_rescue(spectrogram(gray, cfg), cfg)[:3]
+
+
+def extract_prints_flagged(gray: np.ndarray, cfg: PanakoConfig):
+    """extract_prints + the print-rescue flag: (hash, t1, f1, rescued)."""
+    from panako_spark.kernels.spectral import spectrogram
+
+    return prints_with_rescue(spectrogram(gray, cfg), cfg)
 
 
 def tile_row_ranges(h: int, cfg: PanakoConfig) -> list[tuple[int, int]]:
@@ -230,7 +266,8 @@ def tile_row_ranges(h: int, cfg: PanakoConfig) -> list[tuple[int, int]]:
 
 
 def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
-    """One raster pass -> (full prints, [(tile_id, hash, t1, f1), ...]).
+    """One raster pass -> (full prints,
+    [(tile_id, hash, t1, f1, tile_rescued), ...], rescued).
 
     The per-frame column profiles are computed ONCE; each tile is a
     column slice of that matrix (spectral.column_profiles documents the
@@ -238,8 +275,15 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
     marginal tile cost is one small rfft + peak pick + shingling — no
     second pass over the pixels. Tile prints are query-time ephemera
     for the crop-rescue channel; they never enter the stored print
-    format."""
-    from panako_spark.kernels.peaks import find_peaks
+    format. `rescued` is the FULL-image print-rescue flag
+    (prints_with_rescue) — deliberately not OR'd with per-tile rescue
+    picks, so the flag is computable from the stored prints alone and
+    the golden matcher's store_image computes the identical value
+    without extracting tiles. Each tile additionally carries its OWN
+    rescue flag: a dense-picked tile of an otherwise-normal image
+    aligns spuriously exactly like a rescued image does (measured: two
+    score-12/13 false tile pairs leaked through the image-level flags
+    alone), so the tile channel gates on (image flags OR tile flag)."""
     from panako_spark.kernels.spectral import (
         column_profiles, profiles_to_spectrogram,
     )
@@ -247,15 +291,15 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
     profiles = column_profiles(gray, cfg)
 
     def prints_of(prof_slice: np.ndarray):
-        spec = profiles_to_spectrogram(prof_slice, cfg)
-        t, f, m = find_peaks(spec, cfg)
-        return landmarks(t, f, m, cfg)
+        return prints_with_rescue(
+            profiles_to_spectrogram(prof_slice, cfg), cfg)
 
-    full = prints_of(profiles)
+    hh, tt, ff, rescued = prints_of(profiles)
+    full = (hh, tt, ff)
     tiles = []
     if cfg.tile_rescue:
         for tid, (r0, r1) in enumerate(tile_row_ranges(gray.shape[0], cfg)):
-            hh, tt, ff = prints_of(profiles[:, r0:r1])
+            hh, tt, ff, resc_t = prints_of(profiles[:, r0:r1])
             if hh.size:
-                tiles.append((tid, hh, tt, ff))
-    return full, tiles
+                tiles.append((tid, hh, tt, ff, resc_t))
+    return full, tiles, rescued

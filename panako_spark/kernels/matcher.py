@@ -31,12 +31,41 @@ class GoldenMatcher:
         # hash -> list of (resource_id, t1, f1): the LMDB multimap analog
         self._index: dict[int, list[tuple[str, int, int]]] = defaultdict(list)
         self._prints: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # print-rescue flags (landmarks.prints_with_rescue) + input
+        # phashes: rescued pairs face the composite gate of
+        # cfg.rescue_min_score/rescue_strong_score/rescue_phash_max —
+        # identical to the pipeline's rescue_gate, so parity holds
+        # through the rescue
+        self._rescued: dict[str, bool] = {}
+        self._phash: dict[str, int] = {}
 
     # -- store (entry point A) ------------------------------------------------
-    def store_image(self, image_id: str, gray: np.ndarray) -> int:
-        h, t1, f1 = extract_prints(gray, self.cfg)
+    def store_image(self, image_id: str, gray: np.ndarray,
+                    phash: int | None = None) -> int:
+        from panako_spark.kernels.landmarks import extract_prints_flagged
+
+        h, t1, f1, rescued = extract_prints_flagged(gray, self.cfg)
         self.store_prints(image_id, h, t1, f1)
+        self._rescued[image_id] = rescued
+        if phash is not None:
+            self._phash[image_id] = phash
         return h.size
+
+    def _pair_ok(self, id_a: str, id_b: str, score: int,
+                 extra_rescued: bool = False) -> bool:
+        """The rescue precision guard (pipeline.rescue_gate sibling);
+        extra_rescued marks a dense-picked probe (per-tile flag)."""
+        if not (extra_rescued or self._rescued.get(id_a)
+                or self._rescued.get(id_b)):
+            return True
+        if score >= self.cfg.rescue_strong_score:
+            return True
+        pa, pb = self._phash.get(id_a), self._phash.get(id_b)
+        if pa is None or pb is None:
+            return False  # no corroborating signal available
+        ham = bin((pa ^ pb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        return (score >= self.cfg.rescue_min_score
+                and ham <= self.cfg.rescue_phash_max)
 
     def store_prints(self, image_id: str, h, t1, f1) -> None:
         self._prints[image_id] = (h, t1, f1)
@@ -91,8 +120,10 @@ class GoldenMatcher:
     def dedup_pairs(self) -> set[tuple[str, str]]:
         pairs: set[tuple[str, str]] = set()
         for qid, (h, t1, f1) in self._prints.items():
-            for rid in self.query_prints(h, t1, f1, avoid={qid}):
-                pairs.add((min(qid, rid), max(qid, rid)))
+            for rid, res in self.query_prints(h, t1, f1,
+                                              avoid={qid}).items():
+                if self._pair_ok(qid, rid, res.score):
+                    pairs.add((min(qid, rid), max(qid, rid)))
         return pairs
 
     # -- crop-rescue tile probes (query-side tiling) ---------------------------
@@ -114,13 +145,15 @@ class GoldenMatcher:
             return set()
         pairs: set[tuple[str, str]] = set()
         for qid, gray in grays.items():
-            _, tiles = extract_prints_with_tiles(gray, self.cfg)
-            for _tid, h, t1, f1 in tiles:
+            _, tiles, _resc = extract_prints_with_tiles(gray, self.cfg)
+            for _tid, h, t1, f1, tile_resc in tiles:
                 for rid, res in self.query_prints(
                         h, t1, f1, avoid={qid},
                         hot_cap=self.cfg.hash_max_images,
                         query_range=self.cfg.tile_query_range).items():
-                    if res.score >= self.cfg.tile_min_score:
+                    if res.score >= self.cfg.tile_min_score \
+                            and self._pair_ok(qid, rid, res.score,
+                                              extra_rescued=tile_resc):
                         pairs.add((min(qid, rid), max(qid, rid)))
         return pairs
 

@@ -72,14 +72,23 @@ def max_filter_2d(mat: np.ndarray, w_time: int, w_freq: int) -> np.ndarray:
     return running_max_1d(running_max_1d(mat, w_freq, axis=1), w_time, axis=0)
 
 
-def find_peaks(spec: np.ndarray, cfg: PanakoConfig):
+def _peak_mask(spec: np.ndarray, w_time: int, w_freq: int,
+               cfg: PanakoConfig) -> tuple[np.ndarray, np.ndarray]:
+    filt = max_filter_2d(spec, w_time, w_freq)
+    mask = (spec >= filt) & (spec > cfg.min_peak_magnitude)
+    return np.nonzero(mask)
+
+
+def find_peaks(spec: np.ndarray, cfg: PanakoConfig,
+               windows: tuple[int, int] | None = None):
     """-> (t, f, m) int32/int32/float32 arrays, sorted by (t, f), capped.
 
-    spec: (n_frames, freq_bins) log-magnitude field.
+    spec: (n_frames, freq_bins) log-magnitude field. `windows`
+    overrides (w_time, w_freq) for the print-rescue re-pick
+    (landmarks.prints_with_rescue) — config windows otherwise.
     """
-    filt = max_filter_2d(spec, cfg.max_filter_time, cfg.max_filter_freq)
-    mask = (spec >= filt) & (spec > cfg.min_peak_magnitude)
-    t, f = np.nonzero(mask)
+    w_time, w_freq = windows or (cfg.max_filter_time, cfg.max_filter_freq)
+    t, f = _peak_mask(spec, w_time, w_freq, cfg)
     if t.size == 0:
         return (t.astype(np.int32), f.astype(np.int32),
                 np.zeros(0, np.float32))

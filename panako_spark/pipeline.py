@@ -214,6 +214,53 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
         if cfg.probe_prefilter == "semi":
             store_hashes = C.store_hash_relation(prints).persist()
 
+        # (iid, rescued, phash) is a tiny per-image relation; broadcast
+        # onto verify outputs so rescued pairs face the stricter
+        # composite gate (config.rescue_min_score block — the
+        # print-rescue precision guard): strong alignment alone, or
+        # decent alignment corroborated by the independent phash
+        # signal. Stores written before the rescue flag existed have no
+        # column: nothing was rescued there, so the gate is a no-op.
+        if "rescued" in signatures.columns:
+            resc = signatures.select(
+                (F.col("iid") if "iid" in signatures.columns
+                 else F.xxhash64("image_id")).alias("_rid"),
+                F.col("rescued").alias("_resc"),
+                F.col("phash").alias("_ph"))
+
+            def rescue_gate(df: DataFrame, col_a: str, col_b: str,
+                            extra_resc: str | None = None) -> DataFrame:
+                # extra_resc: a boolean column already on df marking a
+                # dense-picked probe (the per-TILE rescue flag) — a
+                # rescued probe aligns spuriously exactly like a
+                # rescued image, so it faces the same composite gate
+                a = resc.select(F.col("_rid").alias(col_a),
+                                F.col("_resc").alias("_ra"),
+                                F.col("_ph").alias("_pa"))
+                b = resc.select(F.col("_rid").alias(col_b),
+                                F.col("_resc").alias("_rb"),
+                                F.col("_ph").alias("_pb"))
+                ham = F.bit_count(
+                    F.col("_pa").bitwiseXOR(F.col("_pb")))
+                pair_rescued = (F.coalesce("_ra", F.lit(False))
+                                | F.coalesce("_rb", F.lit(False)))
+                if extra_resc is not None:
+                    pair_rescued = pair_rescued | F.coalesce(
+                        extra_resc, F.lit(False))
+                keep = (
+                    ~pair_rescued
+                    | (F.col("score") >= cfg.rescue_strong_score)
+                    | ((F.col("score") >= cfg.rescue_min_score)
+                       & (ham <= cfg.rescue_phash_max)))
+                return (df.join(F.broadcast(a), col_a, "left")
+                        .join(F.broadcast(b), col_b, "left")
+                        .where(keep)
+                        .drop("_ra", "_rb", "_pa", "_pb"))
+        else:
+            def rescue_gate(df: DataFrame, col_a: str, col_b: str,
+                            extra_resc: str | None = None) -> DataFrame:
+                return df
+
         def compute_verified() -> DataFrame:
             # Q5's min-hits gate runs inside the verify kernel (one
             # shuffle on the pair key); the widest shuffle of the
@@ -225,6 +272,7 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                                            n_images=n_ids,
                                            store_hashes=store_hashes),
                            cfg, numeric_ids=True)
+            v = rescue_gate(v, "id_a", "id_b")
             # the signatures table carries the persisted iid<->string map
             return C.resolve_numeric_ids(v, signatures)
 
@@ -260,9 +308,17 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                      else F.xxhash64("image_id")).alias("iid"))
                 tp = (split_tile_prints(ext2).drop("iid")
                       .join(sig_ids, "image_id"))
+            qid_col = "iid" if "iid" in tp.columns else "image_id"
+            tile_flags = (tp.groupBy(F.col(qid_col).alias("id_q"),
+                                     "tile_id")
+                          .agg(F.max("tile_resc").alias("_tresc")))
             tv = run_tile_verify(C.tile_hits(tp, prints, cfg,
                                              n_images=n_ids,
                                              store_hashes=store_hashes), cfg)
+            tv = (tv.join(F.broadcast(tile_flags), ["id_q", "tile_id"],
+                          "left"))
+            tv = rescue_gate(tv, "id_q", "id_r", extra_resc="_tresc") \
+                .drop("_tresc")
             directed = (tv.where(F.col("score") >= cfg.tile_min_score)
                         .select(F.least("id_q", "id_r").alias("id_a"),
                                 F.greatest("id_q", "id_r").alias("id_b"))

@@ -50,6 +50,7 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("h", T.IntegerType()),
     T.StructField("phash", T.LongType()),
     T.StructField("n_prints", T.IntegerType()),
+    T.StructField("rescued", T.BooleanType()),
     T.StructField("hashes", T.ArrayType(T.LongType())),
     T.StructField("t1s", T.ArrayType(T.IntegerType())),
     T.StructField("f1s", T.ArrayType(T.IntegerType())),
@@ -67,6 +68,7 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("tile_t1s", T.ArrayType(T.IntegerType())),
     T.StructField("tile_f1s", T.ArrayType(T.IntegerType())),
     T.StructField("tile_ids", T.ArrayType(T.IntegerType())),
+    T.StructField("tile_resc", T.ArrayType(T.BooleanType())),
     T.StructField("psnr_ok", T.BooleanType()),
     T.StructField("err", T.StringType()),
     T.StructField("_pid", T.IntegerType()),
@@ -92,9 +94,10 @@ def make_extract_fn(cfg: PanakoConfig):
             t0 = time.monotonic()
             n = len(batch)
             out: dict[str, list] = {k: [] for k in (
-                "image_id", "iid", "w", "h", "phash", "n_prints", "hashes",
+                "image_id", "iid", "w", "h", "phash", "n_prints",
+                "rescued", "hashes",
                 "t1s", "f1s", "tile_hashes", "tile_t1s", "tile_f1s",
-                "tile_ids", "psnr_ok", "err")}
+                "tile_ids", "tile_resc", "psnr_ok", "err")}
             shingle_lists: list[np.ndarray] = []
             cap_hashes: list[int] = []
             cap_lens: list[int] = []
@@ -106,6 +109,7 @@ def make_extract_fn(cfg: PanakoConfig):
                 tt = np.zeros(0, np.int32)
                 ff = np.zeros(0, np.int32)
                 tiles: list = []
+                rescued = False
                 try:
                     img = codec.decode(bytes(row.bytes), int(row.w),
                                        int(row.h), row.fmt)
@@ -116,8 +120,8 @@ def make_extract_fn(cfg: PanakoConfig):
                     psnr_ok = codec.psnr(img, rt) >= 40.0
                     # one raster pass yields the stored prints AND the
                     # crop-rescue tile probes (profiles shared)
-                    (hh, tt, ff), tiles = extract_prints_with_tiles(
-                        codec.to_gray(img), cfg)
+                    (hh, tt, ff), tiles, rescued = \
+                        extract_prints_with_tiles(codec.to_gray(img), cfg)
                 except Exception as e:  # noqa: BLE001 — one corrupt row
                     # must never kill a 10^12-row job; the err column and
                     # lineage carry the failure
@@ -129,6 +133,7 @@ def make_extract_fn(cfg: PanakoConfig):
                 out["h"].append(int(row.h))
                 out["phash"].append(int(row.phash))
                 out["n_prints"].append(int(hh.size))
+                out["rescued"].append(bool(rescued))
                 out["hashes"].append(hh)
                 out["t1s"].append(tt)
                 out["f1s"].append(ff)
@@ -141,11 +146,14 @@ def make_extract_fn(cfg: PanakoConfig):
                         np.concatenate([t[3] for t in tiles]))
                     out["tile_ids"].append(np.concatenate(
                         [np.full(t[1].size, t[0], np.int32) for t in tiles]))
+                    out["tile_resc"].append(np.concatenate(
+                        [np.full(t[1].size, t[4], bool) for t in tiles]))
                 else:
                     out["tile_hashes"].append(np.zeros(0, np.int64))
                     out["tile_t1s"].append(np.zeros(0, np.int32))
                     out["tile_f1s"].append(np.zeros(0, np.int32))
                     out["tile_ids"].append(np.zeros(0, np.int32))
+                    out["tile_resc"].append(np.zeros(0, bool))
                 out["psnr_ok"].append(bool(psnr_ok))
                 out["err"].append(err)
                 cap = row.caption or ""
@@ -228,7 +236,9 @@ def split_tile_prints(extracted: DataFrame) -> DataFrame:
     z = F.explode(F.arrays_zip(F.col("tile_hashes").alias("hash"),
                                F.col("tile_t1s").alias("t1"),
                                F.col("tile_f1s").alias("f1"),
-                               F.col("tile_ids").alias("tile_id"))).alias("p")
+                               F.col("tile_ids").alias("tile_id"),
+                               F.col("tile_resc").alias("tile_resc"))
+                  ).alias("p")
     ids = (["image_id", "iid"] if "iid" in extracted.columns
            else ["image_id"])
     return (extracted.where(F.col("err").isNull())
@@ -237,7 +247,8 @@ def split_tile_prints(extracted: DataFrame) -> DataFrame:
                     F.col("p.tile_id").alias("tile_id"),
                     F.col("p.hash").alias("hash"),
                     F.col("p.t1").alias("t1"),
-                    F.col("p.f1").alias("f1")))
+                    F.col("p.f1").alias("f1"),
+                    F.col("p.tile_resc").alias("tile_resc")))
 
 
 def split_signatures(extracted: DataFrame) -> DataFrame:
@@ -245,8 +256,8 @@ def split_signatures(extracted: DataFrame) -> DataFrame:
            else ["image_id"])
     return extracted.select(
         *ids, "minhash", "mh_bands", "simhash", "sh_bands",
-        "caption_hash", "caption_len", "substr_fps", "n_prints", "phash",
-        "psnr_ok", "err")
+        "caption_hash", "caption_len", "substr_fps", "n_prints",
+        "rescued", "phash", "psnr_ok", "err")
 
 
 def lineage_from_extracted(extracted: DataFrame, stage: str,

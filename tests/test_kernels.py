@@ -437,12 +437,12 @@ def test_tile_prints_bit_exact_vs_sliced_image(cfg):
     rows, _ = synth.generate_corpus(6, dup_fraction=0.4, seed=13)
     for r in rows:
         g = to_gray(r.pixels)
-        (fh, ft, ff), tiles = extract_prints_with_tiles(g, cfg)
+        (fh, ft, ff), tiles, _resc = extract_prints_with_tiles(g, cfg)
         dh, dt, df = extract_prints(g, cfg)
         assert np.array_equal(fh, dh)
         assert np.array_equal(ft, dt)
         assert np.array_equal(ff, df)
-        tmap = {tid: (hh, tt, fff) for tid, hh, tt, fff in tiles}
+        tmap = {tid: (hh, tt, fff) for tid, hh, tt, fff, _rc in tiles}
         for tid, (r0, r1) in enumerate(tile_row_ranges(g.shape[0], cfg)):
             eh, et, ef = extract_prints(g[r0:r1, :], cfg)
             if tid not in tmap:

@@ -36,7 +36,7 @@ def golden_pairs(corpus, cfg):
     rows, clique, _ = corpus
     gm = GoldenMatcher(cfg)
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, to_gray(r.pixels), phash=r.phash)
     landmark = gm.dedup_pairs()
     caption = caption_pairs_golden({r.image_id: r.caption for r in rows}, cfg)
     caption["phash"] = phash_pairs_golden(
@@ -157,7 +157,7 @@ def test_olaf_golden_self_match(cfg):
     ocfg = cfg.with_(strategy="olaf")
     gm = GoldenMatcher(ocfg)
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, to_gray(r.pixels), phash=r.phash)
     pairs = gm.dedup_pairs()
     import itertools, collections
     groups = collections.defaultdict(list)

@@ -47,7 +47,7 @@ def golden(corpus, cfg):
     rows, _ = corpus
     gm = GoldenMatcher(cfg)
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, to_gray(r.pixels), phash=r.phash)
     landmark = gm.dedup_pairs()
     caption = caption_pairs_golden({r.image_id: r.caption for r in rows}, cfg)
     caption["phash"] = phash_pairs_golden(
@@ -148,7 +148,7 @@ def test_olaf_strategy_spark_golden_parity(spark, cfg, tmp_path):
     rows, _ = synth.generate_corpus(12, dup_fraction=0.5, seed=77)
     gm = GoldenMatcher(ocfg)
     for r in rows:
-        gm.store_image(r.image_id, to_gray(r.pixels))
+        gm.store_image(r.image_id, to_gray(r.pixels), phash=r.phash)
     golden_pairs = gm.dedup_pairs()
 
     images = spark.createDataFrame(rows_to_pandas(rows))
@@ -169,8 +169,9 @@ def test_parity_tile_channel(pipeline_result, corpus, cfg):
     rows, _ = corpus
     gm = GoldenMatcher(cfg)
     grays = {r.image_id: to_gray(r.pixels) for r in rows}
+    phashes = {r.image_id: r.phash for r in rows}
     for i, g in grays.items():
-        gm.store_image(i, g)
+        gm.store_image(i, g, phash=phashes[i])
     golden_tiles = gm.tile_rescue_pairs(grays)
     spark_tiles = {(a, b) for a, b, ch in pairs if ch == "tile"}
     assert spark_tiles == golden_tiles
