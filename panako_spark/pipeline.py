@@ -252,8 +252,14 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
                     | (F.col("score") >= cfg.rescue_strong_score)
                     | ((F.col("score") >= cfg.rescue_min_score)
                        & (ham <= cfg.rescue_phash_max)))
-                return (df.join(F.broadcast(a), col_a, "left")
-                        .join(F.broadcast(b), col_b, "left")
+                # no broadcast hint: the flag relation is per-image
+                # (10^12 rows at target scale), while the verified
+                # relation it joins is post-gate and usually far
+                # smaller — AQE picks broadcast at runtime when a side
+                # is actually small, and an equi-join on the int64 id
+                # is the safe default either way
+                return (df.join(a, col_a, "left")
+                        .join(b, col_b, "left")
                         .where(keep)
                         .drop("_ra", "_rb", "_pa", "_pb"))
         else:
@@ -315,8 +321,7 @@ def run_pipeline(spark: SparkSession, images: DataFrame, store: CheckpointStore,
             tv = run_tile_verify(C.tile_hits(tp, prints, cfg,
                                              n_images=n_ids,
                                              store_hashes=store_hashes), cfg)
-            tv = (tv.join(F.broadcast(tile_flags), ["id_q", "tile_id"],
-                          "left"))
+            tv = tv.join(tile_flags, ["id_q", "tile_id"], "left")
             tv = rescue_gate(tv, "id_q", "id_r", extra_resc="_tresc") \
                 .drop("_tresc")
             directed = (tv.where(F.col("score") >= cfg.tile_min_score)
