@@ -217,8 +217,14 @@ def _history_section(mode: str, lo: int, hi: int) -> str:
         sp = b["images_per_sec"] / s["images_per_sec"]
         when = datetime.datetime.fromtimestamp(
             s["ts0"]).strftime("%Y-%m-%d %H:%M")
+        # candidate-config trials (run with --bench-conf) stay in the
+        # history like everything else, but labeled — a reader must
+        # never mistake a trial row for the shipping configuration
+        conf = sorted(set(s.get("bench_conf", [])
+                          + b.get("bench_conf", [])))
+        tag = f" `[{' '.join(conf)}]`" if conf else ""
         lines.append(
-            f"| {k} | {when} | {s['images_per_sec']:.2f} "
+            f"| {k} | {when}{tag} | {s['images_per_sec']:.2f} "
             f"| {b['images_per_sec']:.2f} | {sp:.2f}x "
             f"| {sp / (hi / lo):.3f} "
             f"| {s['steal_pct']}% / {b['steal_pct']}% |")
@@ -273,6 +279,7 @@ def _clean_eff_phrase(mode: str, lo: int, hi: int, thr: float) -> str:
     # keep the adjacency inference and the caller's threshold
     rows = [r for r in rows
             if r.get("mode") == mode and r.get("pinned_cpus")
+            and not r.get("bench_conf")  # trials live in history only
             and (r["protocol_pair"] == [lo, hi] if "protocol_pair" in r
                  else r.get("level") in (lo, hi))]
     effs, i = [], 0
@@ -350,7 +357,8 @@ def _level_pairs_in_log(mode: str) -> list[tuple[int, int]]:
 def run_level(cpus: int, n_base: int, mode: str,
               pin: bool = True,
               protocol_pair: tuple[int, int] | None = None,
-              steal_threshold: float | None = None) -> dict | None:
+              steal_threshold: float | None = None,
+              bench_conf: list[str] | None = None) -> dict | None:
     """One bench run at one parallelism level; None on subprocess failure
     (a crashed run must cost one pair, never the whole hunt's data —
     learned the hard way when a mid-hunt OOM at 69.7k images killed
@@ -382,6 +390,8 @@ def run_level(cpus: int, n_base: int, mode: str,
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
            "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode]
+    for kv in (bench_conf or []):
+        cmd += ["--conf", kv]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     ts0 = time.time()
@@ -413,6 +423,8 @@ def run_level(cpus: int, n_base: int, mode: str,
                 r["protocol_pair"] = list(protocol_pair)
             if steal_threshold is not None:
                 r["steal_threshold_at_write"] = steal_threshold
+            if bench_conf:
+                r["bench_conf"] = list(bench_conf)
             r["pinned_cpus"] = f"0-{cpus - 1}" if pin else None
             r["steal_scope"] = ("pinned_set" if pin else "host")
             r["ts0"], r["ts1"] = round(ts0, 1), round(ts1, 1)
@@ -460,6 +472,12 @@ def main() -> None:
                          "invocation continue the level-order "
                          "alternation (odd index = big level first) "
                          "and pair numbering of an earlier session")
+    ap.add_argument("--bench-conf", action="append", default=[],
+                    metavar="K=V",
+                    help="extra spark conf(s) passed through to every "
+                         "bench.py run (candidate-config trials, e.g. "
+                         "spark.io.compression.codec=zstd); recorded on "
+                         "each jsonl row")
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning (pinning is the "
                          "default: it is what makes local[N] a faithful "
@@ -510,7 +528,8 @@ def main() -> None:
                 for cpus in order:  # alternate order pair-to-pair
                     r = run_level(cpus, n_bases[mode], mode, pin=pin,
                                   protocol_pair=(levels[0], levels[1]),
-                                  steal_threshold=args.steal_threshold)
+                                  steal_threshold=args.steal_threshold,
+                                  bench_conf=args.bench_conf)
                     if r is None:  # crashed run: forfeit the pair only
                         failed = True
                         break
