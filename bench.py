@@ -114,6 +114,40 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
                  / max(1, after[1] - before[1]), 2)
 
 
+def _spin_until(t_end: float) -> int:
+    x = 0
+    while time.monotonic() < t_end:
+        for _ in range(20000):
+            x += 1
+    return x
+
+
+def wait_for_quiet(threshold: float = 5.0, max_wait_s: float = 240.0,
+                   probe_s: float = 4.0) -> float:
+    """Bounded wait for a low-steal window before benchmarking (VERDICT
+    r3 #4: the committed headline bench ran under a 12.9% burst while
+    the clean evidence lived elsewhere — starting inside a quiet window
+    makes the default-invocation artifact itself clean). A short loaded
+    spin probes busy-relative steal (an idle VM shows ~zero busy ticks);
+    returns the last probe reading. Skip with --no-quiet-wait (the
+    scaling harness does its own window scheduling)."""
+    import multiprocessing as mp
+
+    procs = min(8, os.cpu_count() or 8)
+    t0 = time.monotonic()
+    while True:
+        s0 = _cpu_counters()
+        t_end = time.monotonic() + probe_s
+        with mp.Pool(procs) as p:
+            p.map(_spin_until, [t_end] * procs)
+        steal = _steal_pct(s0, _cpu_counters())
+        if steal <= threshold or time.monotonic() - t0 > max_wait_s:
+            return steal
+        print(f"bench: host busy (probe steal {steal:.1f}%) — waiting "
+              "for a quiet window", file=sys.stderr, flush=True)
+        time.sleep(20)
+
+
 def _jvm_gc_ms(spark) -> int:
     """Total stop-the-world GC milliseconds since JVM start (GC MXBeans).
     Local mode shares ONE JVM heap across all task threads, so GC cost
@@ -150,7 +184,17 @@ def main() -> None:
                     help="extra Spark conf (repeatable), e.g. "
                          "--conf spark.sql.adaptive."
                          "maxShuffledHashJoinLocalMapThreshold=128m")
+    ap.add_argument("--no-quiet-wait", action="store_true",
+                    help="start immediately instead of waiting (bounded, "
+                         "240 s) for a <5%% steal window; the scaling "
+                         "harness passes this (it schedules its own "
+                         "windows)")
     args = ap.parse_args()
+
+    if not args.no_quiet_wait:
+        probe = wait_for_quiet()
+        print(f"bench: pre-flight probe steal {probe:.1f}%",
+              file=sys.stderr, flush=True)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -389,6 +389,7 @@ def run_level(cpus: int, n_base: int, mode: str,
     s0, b0, t0 = _cpu_counters(cpu_ids)
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--skip-tables",
+           "--no-quiet-wait",  # this harness schedules its own windows
            "--cpus", str(cpus), "--n-base", str(n_base), "--mode", mode]
     for kv in (bench_conf or []):
         cmd += ["--conf", kv]
