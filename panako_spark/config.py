@@ -70,13 +70,52 @@ class PanakoConfig:
     # so any useful peak floor rescued >80% of the corpus and collapsed
     # precision (7.7k false pairs at 642 images). The print floor
     # rescues the starved ~20% tail (642-image print-count percentiles:
-    # p5=63, p10=88, p25=152, p50=309); truth recall 0.9846 -> 0.9969
-    # with out-of-clique pairs held at the pre-rescue baseline by the
+    # p5=63, p10=88, p25=152, p50=309); direct truth-pair recall
+    # 0.9846 -> 0.9938 and cluster-implied recall -> 0.9969, with
+    # out-of-clique pairs held at the pre-rescue baseline by the
     # rescue_min_score composite gate below. Measured numbers pinned in
     # test_parity_scale.py.
     print_rescue_floor: int = 130
     peak_rescue_freq: int = 11
     peak_rescue_time: int = 5
+    # Cap on the rescued (dense) peak pick. An uncapped 11x5 re-pick
+    # turns a starved image into a ~2,700-print one (vs a 309-print
+    # corpus median): rescued peaks are few but tightly packed, so the
+    # exhaustive-in-window triplet count explodes combinatorially.
+    # Measured at 642 images, uncapped rescue inflated corpus print
+    # volume 2.03x (full) / 2.76x (tiles), which inflated the
+    # candidate-join + verify phase ~2.5x wall at 69.7k images
+    # (BENCH/scaling_runs.jsonl pair 8 vs pairs 1-7). The cap keeps
+    # every standard-window peak — preserving the superset property
+    # above — and fills the remainder with the strongest dense-only
+    # peaks by 3x3 magnitude, a deterministic content-only rule, so
+    # both sides of a true pair keep (nearly) the same peaks. cap=32
+    # measured identical recall/precision to uncapped (sweep pinned in
+    # test_parity_scale.py) at -17% print volume.
+    rescue_max_peaks: int = 32
+    # Which tiles may take the dense re-pick when starved:
+    #   "always" — any starved tile (including tiles of normal images)
+    #   "parent" — only tiles of images whose FULL pick was rescued
+    #   "never"  — tiles always use the standard windows
+    # Tiles dominate probe volume (~6x the full-print volume), so this
+    # knob controls most of the rescue's join cost. Measured at 642
+    # images: "always" buys exactly ONE extra DIRECT pair over "never"
+    # (a crop dup x contain dup of the same base) at 2.3x tile probe
+    # volume — and that pair's images are already co-clustered through
+    # their shared base, so the CLUSTER assignment (the dedup
+    # deliverable, and the reference's query-finds-original contract)
+    # is bit-identical between the modes: closure recall 0.9969 /
+    # closure out-of-clique 38-39 both ways. "never" ships; the
+    # rescue's whole win then costs 1.13x probe volume instead of
+    # 2.28x. Sweep + closure metrics pinned in test_parity_scale.py.
+    tile_rescue_mode: str = "never"
+    # Starvation floor for TILE picks when tile_rescue_mode allows
+    # dense tiles ("always"/"parent"; inert under "never"). Tiles are
+    # image slices, so at the full-image floor of 130 a quarter of ALL
+    # tiles fire the dense re-pick; lowering this below 130 measurably
+    # loses the one contain-dup pair that dense tiles exist to catch,
+    # so there is no useful middle setting — hence the mode knob above.
+    tile_rescue_floor: int = 130
     # Precision guard for the rescue: dense prints align spuriously
     # more often, so a landmark/tile pair with a rescued side ships
     # only if it clears rescue_strong_score on alignment alone, OR
@@ -288,6 +327,7 @@ class PanakoConfig:
             "log_fmin_bin", "max_filter_freq", "max_filter_time",
             "min_peak_magnitude", "max_peaks_per_image",
             "print_rescue_floor", "peak_rescue_freq", "peak_rescue_time",
+            "rescue_max_peaks", "tile_rescue_mode", "tile_rescue_floor",
             "min_time_distance", "max_time_distance", "min_freq_distance",
             "max_freq_distance", "max_prints_per_image",
             "strategy", "olaf_eps_per_fp",

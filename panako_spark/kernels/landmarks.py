@@ -192,7 +192,8 @@ def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
             rows[:, 2].astype(np.int32))
 
 
-def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig):
+def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
+                       floor: int | None = None):
     """Peak pick + shingling with the print-density rescue (config.py
     `print_rescue_floor` comment has the full rationale): if the
     standard windows yield a print count too small to ever clear the
@@ -212,15 +213,33 @@ def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig):
     rescued true pairs clear 20."""
     from panako_spark.kernels.peaks import find_peaks
 
-    h, t1, f1 = landmarks(*find_peaks(spec, cfg), cfg)
-    rescued = (0 < h.size < cfg.print_rescue_floor
+    if floor is None:
+        floor = cfg.print_rescue_floor
+    t_s, f_s, m_s = find_peaks(spec, cfg)
+    h, t1, f1 = landmarks(t_s, f_s, m_s, cfg)
+    rescued = (0 < h.size < floor
                and (cfg.peak_rescue_time < cfg.max_filter_time
                     or cfg.peak_rescue_freq < cfg.max_filter_freq))
     if rescued:
-        h, t1, f1 = landmarks(
-            *find_peaks(spec, cfg, windows=(cfg.peak_rescue_time,
-                                            cfg.peak_rescue_freq)),
-            cfg)
+        t_d, f_d, m_d = find_peaks(
+            spec, cfg, windows=(cfg.peak_rescue_time, cfg.peak_rescue_freq))
+        cap = cfg.rescue_max_peaks
+        if 0 < cap < t_d.size:
+            # Cap the dense pick (config.py `rescue_max_peaks` comment
+            # has the measured rationale): force-keep every standard
+            # peak — so the peak set, hence the exhaustive-in-window
+            # triplet set, stays a superset of the standard one — and
+            # fill up to the cap with the strongest dense-only peaks.
+            # Pure content rule: both sides of a true pair rank the
+            # same spectral peaks the same way.
+            std = set(zip(t_s.tolist(), f_s.tolist()))
+            is_std = np.fromiter(
+                ((int(a), int(b)) in std for a, b in zip(t_d, f_d)),
+                dtype=bool, count=t_d.size)
+            order = np.lexsort((f_d, t_d, -m_d, ~is_std))
+            keep = np.sort(order[:max(cap, int(is_std.sum()))])
+            t_d, f_d, m_d = t_d[keep], f_d[keep], m_d[keep]
+        h, t1, f1 = landmarks(t_d, f_d, m_d, cfg)
     return h, t1, f1, rescued
 
 
@@ -298,8 +317,18 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
     full = (hh, tt, ff)
     tiles = []
     if cfg.tile_rescue:
+        dense_ok = (cfg.tile_rescue_mode == "always"
+                    or (cfg.tile_rescue_mode == "parent" and rescued))
         for tid, (r0, r1) in enumerate(tile_row_ranges(gray.shape[0], cfg)):
-            hh, tt, ff, resc_t = prints_of(profiles[:, r0:r1])
+            tspec = profiles_to_spectrogram(profiles[:, r0:r1], cfg)
+            if dense_ok:
+                hh, tt, ff, resc_t = prints_with_rescue(
+                    tspec, cfg, floor=cfg.tile_rescue_floor)
+            else:
+                from panako_spark.kernels.peaks import find_peaks
+
+                hh, tt, ff = landmarks(*find_peaks(tspec, cfg), cfg)
+                resc_t = False
             if hh.size:
                 tiles.append((tid, hh, tt, ff, resc_t))
     return full, tiles, rescued

@@ -421,11 +421,17 @@ def test_config_overrides_round_trip():
         config_with_overrides(["query_range"])
 
 
-def test_tile_prints_bit_exact_vs_sliced_image(cfg):
+@pytest.mark.parametrize("tile_mode", ["never", "always"])
+def test_tile_prints_bit_exact_vs_sliced_image(cfg, tile_mode):
     """Crop-rescue tiles: extract_prints_with_tiles must equal extracting
     each sliced image directly — the profile-slice fast path
     (spectral.column_profiles) is bit-exact by row independence, and the
-    full-image prints are unchanged."""
+    full-image prints are unchanged. Under tile_rescue_mode="never"
+    (the shipping default) a tile equals the NO-rescue extraction of
+    the sliced image; under "always" it equals the rescued extraction
+    at the tile floor."""
+    import dataclasses
+
     import numpy as np
 
     from panako_spark.data import synth
@@ -434,6 +440,11 @@ def test_tile_prints_bit_exact_vs_sliced_image(cfg):
         extract_prints, extract_prints_with_tiles, tile_row_ranges,
     )
 
+    cfg = dataclasses.replace(cfg, tile_rescue_mode=tile_mode)
+    slice_cfg = (dataclasses.replace(cfg, print_rescue_floor=0)
+                 if tile_mode == "never"
+                 else dataclasses.replace(
+                     cfg, print_rescue_floor=cfg.tile_rescue_floor))
     rows, _ = synth.generate_corpus(6, dup_fraction=0.4, seed=13)
     for r in rows:
         g = to_gray(r.pixels)
@@ -444,7 +455,7 @@ def test_tile_prints_bit_exact_vs_sliced_image(cfg):
         assert np.array_equal(ff, df)
         tmap = {tid: (hh, tt, fff) for tid, hh, tt, fff, _rc in tiles}
         for tid, (r0, r1) in enumerate(tile_row_ranges(g.shape[0], cfg)):
-            eh, et, ef = extract_prints(g[r0:r1, :], cfg)
+            eh, et, ef = extract_prints(g[r0:r1, :], slice_cfg)
             if tid not in tmap:
                 assert eh.size == 0
                 continue
