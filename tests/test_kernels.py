@@ -465,6 +465,47 @@ def test_tile_prints_bit_exact_vs_sliced_image(cfg, tile_mode):
             assert np.array_equal(fff, ef)
 
 
+def test_rescue_print_volume_bounded(cfg):
+    """Cost guard for the print-density rescue: corpus-wide print
+    volume with the rescue ON must stay within 1.5x of the rescue-OFF
+    volume, and tile prints must be BIT-IDENTICAL to the no-rescue
+    extraction (tile_rescue_mode="never" ships). The round-4 uncapped
+    rescue read 2.66x total here and inflated the 69.7k-image
+    candidate-join/verify phase ~2.5x wall before being contained
+    (BENCH/ATTRIBUTION.md "Fix 5") — this test makes that class of
+    recall-buys-unbounded-cost regression fail at commit time."""
+    import dataclasses
+
+    import numpy as np
+
+    from panako_spark.data import synth
+    from panako_spark.kernels.codec import to_gray
+    from panako_spark.kernels.landmarks import extract_prints_with_tiles
+
+    nocfg = dataclasses.replace(cfg, print_rescue_floor=0)
+    rows, _ = synth.generate_corpus(40, dup_fraction=0.4, seed=777)
+    on_full = on_tile = off_full = off_tile = 0
+    for r in rows:
+        g = to_gray(r.pixels)
+        (h, _, _), tiles, _ = extract_prints_with_tiles(g, cfg)
+        on_full += h.size
+        on_tile += sum(hh.size for _, hh, _, _, _ in tiles)
+        (h0, _, _), tiles0, _ = extract_prints_with_tiles(g, nocfg)
+        off_full += h0.size
+        off_tile += sum(hh.size for _, hh, _, _, _ in tiles0)
+        assert h.size <= cfg.max_prints_per_image
+        if cfg.tile_rescue_mode == "never":
+            for (_, a, at, af, _), (_, b, bt, bf, _) in zip(tiles, tiles0):
+                assert np.array_equal(a, b)
+                assert np.array_equal(at, bt)
+                assert np.array_equal(af, bf)
+    total_infl = (on_full + on_tile) / (off_full + off_tile)
+    assert total_infl <= 1.5, (
+        f"rescue inflates corpus print volume {total_infl:.2f}x "
+        f"(full {on_full / off_full:.2f}x, tile {on_tile / off_tile:.2f}x)"
+        " — measured 1.24x at this corpus when shipped")
+
+
 def test_tile_row_ranges_dedup_and_bounds(cfg):
     from panako_spark.kernels.landmarks import tile_row_ranges
 
