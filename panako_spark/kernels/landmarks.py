@@ -205,12 +205,24 @@ def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
     point for the store path, the tile channel and the golden matcher
     — parity by construction.
 
-    Returns (hash, t1, f1, rescued). Rescued images trade precision for
-    the added density (their dense prints align spuriously more often),
-    so pairs with a rescued side are verified at the STRICTER
-    cfg.rescue_min_score gate downstream (pipeline + golden matcher) —
-    measured false-pair scores at 642 images cluster at 8-15 while the
-    rescued true pairs clear 20."""
+    Returns (hash, t1, f1, rescued, n_std): the first n_std prints are
+    the STANDARD-window pick verbatim, the rest the dense-only extras
+    (set-difference on exact (hash, t1, f1) triples). The split exists
+    because the two print classes have different index scopes
+    downstream (measured at 642 images, split_index_sweep): dense
+    extras must sit in the LANDMARK channel's index — the rescued-pair
+    recoveries are dense∩dense intersections — but contribute nothing
+    through the tile channel that cluster closure doesn't already give,
+    while DOUBLING that channel's (dominant) join cost if indexed. So
+    candidates.tile_hits and GoldenMatcher.tile_rescue_pairs probe a
+    std-prints-only index (`is_std` in the prints checkpoint / the
+    matcher's _index_std), and landmark_hits keeps the full set.
+
+    Rescued images trade precision for the added density (their dense
+    prints align spuriously more often), so pairs with a rescued side
+    are verified at the STRICTER cfg.rescue_min_score gate downstream
+    (pipeline + golden matcher) — measured false-pair scores at 642
+    images cluster at 8-15 while the rescued true pairs clear 20."""
     from panako_spark.kernels.peaks import find_peaks
 
     if floor is None:
@@ -220,27 +232,36 @@ def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
     rescued = (0 < h.size < floor
                and (cfg.peak_rescue_time < cfg.max_filter_time
                     or cfg.peak_rescue_freq < cfg.max_filter_freq))
-    if rescued:
-        t_d, f_d, m_d = find_peaks(
-            spec, cfg, windows=(cfg.peak_rescue_time, cfg.peak_rescue_freq))
-        cap = cfg.rescue_max_peaks
-        if 0 < cap < t_d.size:
-            # Cap the dense pick (config.py `rescue_max_peaks` comment
-            # has the measured rationale): force-keep every standard
-            # peak — so the peak set, hence the exhaustive-in-window
-            # triplet set, stays a superset of the standard one — and
-            # fill up to the cap with the strongest dense-only peaks.
-            # Pure content rule: both sides of a true pair rank the
-            # same spectral peaks the same way.
-            std = set(zip(t_s.tolist(), f_s.tolist()))
-            is_std = np.fromiter(
-                ((int(a), int(b)) in std for a, b in zip(t_d, f_d)),
-                dtype=bool, count=t_d.size)
-            order = np.lexsort((f_d, t_d, -m_d, ~is_std))
-            keep = np.sort(order[:max(cap, int(is_std.sum()))])
-            t_d, f_d, m_d = t_d[keep], f_d[keep], m_d[keep]
-        h, t1, f1 = landmarks(t_d, f_d, m_d, cfg)
-    return h, t1, f1, rescued
+    if not rescued:
+        return h, t1, f1, False, h.size
+    t_d, f_d, m_d = find_peaks(
+        spec, cfg, windows=(cfg.peak_rescue_time, cfg.peak_rescue_freq))
+    cap = cfg.rescue_max_peaks
+    if 0 < cap < t_d.size:
+        # Cap the dense pick (config.py `rescue_max_peaks` comment
+        # has the measured rationale): force-keep every standard
+        # peak — so the peak set, hence the exhaustive-in-window
+        # triplet set, stays a superset of the standard one — and
+        # fill up to the cap with the strongest dense-only peaks.
+        # Pure content rule: both sides of a true pair rank the
+        # same spectral peaks the same way.
+        std = set(zip(t_s.tolist(), f_s.tolist()))
+        is_std = np.fromiter(
+            ((int(a), int(b)) in std for a, b in zip(t_d, f_d)),
+            dtype=bool, count=t_d.size)
+        order = np.lexsort((f_d, t_d, -m_d, ~is_std))
+        keep = np.sort(order[:max(cap, int(is_std.sum()))])
+        t_d, f_d, m_d = t_d[keep], f_d[keep], m_d[keep]
+    hd, td, fd = landmarks(t_d, f_d, m_d, cfg)
+    std_set = set(zip(h.tolist(), t1.tolist(), f1.tolist()))
+    extra = ~np.fromiter(
+        ((int(a), int(b), int(c)) in std_set
+         for a, b, c in zip(hd, td, fd)),
+        dtype=bool, count=hd.size)
+    return (np.concatenate([h, hd[extra]]),
+            np.concatenate([t1, td[extra]]).astype(np.int32),
+            np.concatenate([f1, fd[extra]]).astype(np.int32),
+            True, h.size)
 
 
 def extract_prints(gray: np.ndarray, cfg: PanakoConfig):
@@ -251,7 +272,8 @@ def extract_prints(gray: np.ndarray, cfg: PanakoConfig):
 
 
 def extract_prints_flagged(gray: np.ndarray, cfg: PanakoConfig):
-    """extract_prints + the print-rescue flag: (hash, t1, f1, rescued)."""
+    """extract_prints + the rescue flag and std/dense split:
+    (hash, t1, f1, rescued, n_std)."""
     from panako_spark.kernels.spectral import spectrogram
 
     return prints_with_rescue(spectrogram(gray, cfg), cfg)
@@ -286,7 +308,7 @@ def tile_row_ranges(h: int, cfg: PanakoConfig) -> list[tuple[int, int]]:
 
 def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
     """One raster pass -> (full prints,
-    [(tile_id, hash, t1, f1, tile_rescued), ...], rescued).
+    [(tile_id, hash, t1, f1, tile_rescued), ...], rescued, n_std).
 
     The per-frame column profiles are computed ONCE; each tile is a
     column slice of that matrix (spectral.column_profiles documents the
@@ -313,7 +335,7 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
         return prints_with_rescue(
             profiles_to_spectrogram(prof_slice, cfg), cfg)
 
-    hh, tt, ff, rescued = prints_of(profiles)
+    hh, tt, ff, rescued, n_std = prints_of(profiles)
     full = (hh, tt, ff)
     tiles = []
     if cfg.tile_rescue:
@@ -322,7 +344,7 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
         for tid, (r0, r1) in enumerate(tile_row_ranges(gray.shape[0], cfg)):
             tspec = profiles_to_spectrogram(profiles[:, r0:r1], cfg)
             if dense_ok:
-                hh, tt, ff, resc_t = prints_with_rescue(
+                hh, tt, ff, resc_t, _ = prints_with_rescue(
                     tspec, cfg, floor=cfg.tile_rescue_floor)
             else:
                 from panako_spark.kernels.peaks import find_peaks
@@ -331,4 +353,4 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
                 resc_t = False
             if hh.size:
                 tiles.append((tid, hh, tt, ff, resc_t))
-    return full, tiles, rescued
+    return full, tiles, rescued, n_std

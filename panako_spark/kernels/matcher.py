@@ -30,6 +30,12 @@ class GoldenMatcher:
         self.cfg = cfg
         # hash -> list of (resource_id, t1, f1): the LMDB multimap analog
         self._index: dict[int, list[tuple[str, int, int]]] = defaultdict(list)
+        # standard-window prints only — the tile channel's index scope
+        # (prints_with_rescue documents why dense rescue extras are
+        # landmark-channel-only; the Spark sibling is the `is_std`
+        # filter in candidates.tile_hits)
+        self._index_std: dict[int, list[tuple[str, int, int]]] = (
+            defaultdict(list))
         self._prints: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         # print-rescue flags (landmarks.prints_with_rescue) + input
         # phashes: rescued pairs face the composite gate of
@@ -44,8 +50,8 @@ class GoldenMatcher:
                     phash: int | None = None) -> int:
         from panako_spark.kernels.landmarks import extract_prints_flagged
 
-        h, t1, f1, rescued = extract_prints_flagged(gray, self.cfg)
-        self.store_prints(image_id, h, t1, f1)
+        h, t1, f1, rescued, n_std = extract_prints_flagged(gray, self.cfg)
+        self.store_prints(image_id, h, t1, f1, n_std=n_std)
         self._rescued[image_id] = rescued
         if phash is not None:
             self._phash[image_id] = phash
@@ -67,10 +73,18 @@ class GoldenMatcher:
         return (score >= self.cfg.rescue_min_score
                 and ham <= self.cfg.rescue_phash_max)
 
-    def store_prints(self, image_id: str, h, t1, f1) -> None:
+    def store_prints(self, image_id: str, h, t1, f1,
+                     n_std: int | None = None) -> None:
+        """n_std: how many leading prints are the standard-window pick
+        (prints_with_rescue's split); defaults to all of them."""
         self._prints[image_id] = (h, t1, f1)
-        for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
+        if n_std is None:
+            n_std = h.size
+        for i, (hh, tt, ff) in enumerate(
+                zip(h.tolist(), t1.tolist(), f1.tolist())):
             self._index[hh].append((image_id, tt, ff))
+            if i < n_std:
+                self._index_std[hh].append((image_id, tt, ff))
 
     def _hot_hashes(self, cap: int | None = None) -> set[int]:
         """Stop-word hashes (> cap distinct images; default cap = the
@@ -92,11 +106,13 @@ class GoldenMatcher:
     # -- query (entry point B) ------------------------------------------------
     def query_prints(self, h, t1, f1, avoid: set[str],
                      hot_cap: int | None = None,
-                     query_range: int | None = None
+                     query_range: int | None = None,
+                     std_index_only: bool = False
                      ) -> dict[str, MatchResult]:
         cfg = self.cfg
         qr = cfg.query_range if query_range is None else query_range
         hot = self._hot_hashes(hot_cap)
+        index = self._index_std if std_index_only else self._index
         hits: dict[str, list[tuple[int, int, int, int]]] = defaultdict(list)
         for hh, tt, ff in zip(h.tolist(), t1.tolist(), f1.tolist()):
             if hh in hot:
@@ -104,7 +120,7 @@ class GoldenMatcher:
             for probe in range(hh - qr, hh + qr + 1):
                 if probe in hot:
                     continue
-                for rid, rt, rf in self._index.get(probe, ()):  # Q1
+                for rid, rt, rf in index.get(probe, ()):        # Q1
                     if rid in avoid:                            # Q2
                         continue
                     hits[rid].append((tt, ff, rt, rf))          # Q3/Q4
@@ -138,19 +154,25 @@ class GoldenMatcher:
         Tile queries run at the FIXED stop-word cap (hash_max_images,
         not the corpus-scaled cap) — identical to the Spark channel
         (candidates.tile_hits documents why: crop dup groups are tiny,
-        and a scaled cap makes tile probe volume superlinear)."""
+        and a scaled cap makes tile probe volume superlinear), and
+        against the STANDARD-prints-only index (std_index_only; the
+        Spark sibling filters on `is_std`) — dense rescue extras are
+        landmark-channel-only (prints_with_rescue documents the
+        measured reason)."""
         from panako_spark.kernels.landmarks import extract_prints_with_tiles
 
         if not self.cfg.tile_rescue:
             return set()
         pairs: set[tuple[str, str]] = set()
         for qid, gray in grays.items():
-            _, tiles, _resc = extract_prints_with_tiles(gray, self.cfg)
+            _, tiles, _resc, _n_std = extract_prints_with_tiles(gray,
+                                                                self.cfg)
             for _tid, h, t1, f1, tile_resc in tiles:
                 for rid, res in self.query_prints(
                         h, t1, f1, avoid={qid},
                         hot_cap=self.cfg.hash_max_images,
-                        query_range=self.cfg.tile_query_range).items():
+                        query_range=self.cfg.tile_query_range,
+                        std_index_only=True).items():
                     if res.score >= self.cfg.tile_min_score \
                             and self._pair_ok(qid, rid, res.score,
                                               extra_rescued=tile_resc):

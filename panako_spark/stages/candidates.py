@@ -258,10 +258,21 @@ def tile_hits(tile_prints: DataFrame, prints: DataFrame, cfg: PanakoConfig,
     volume stays a bounded constant factor on the linear landmark term.
     The golden sibling applies the identical fixed cap.
 
+    The store side is scoped to STANDARD-window prints (is_std): dense
+    rescue extras double this channel's (dominant) join cost while the
+    642-image split-index sweep measured them adding zero cluster-level
+    recall through tiles — their recoveries are landmark-channel
+    dense∩dense intersections (prints_with_rescue docstring; golden
+    sibling: tile_rescue_pairs' std_index_only). The hot-hash set is
+    computed on the FULL print relation first, like the golden
+    matcher's _hot_hashes, so stop-word parity is unaffected.
+
     Scale shape: otherwise identical to landmark_hits — one explode +
     equi-join on the probe hash, int64 ids, no new shuffle kinds."""
     hot = hot_hash_set(prints, cfg, n_images=n_images,
                        cap=cfg.hash_max_images)
+    if "is_std" in prints.columns:  # pre-split stores: all prints std
+        prints = prints.where(F.col("is_std"))
     store = prints if hot is None else prints.join(hot, "hash", "left_anti")
     q = (tile_prints if hot is None
          else tile_prints.join(hot, "hash", "left_anti"))

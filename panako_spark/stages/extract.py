@@ -51,6 +51,7 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("phash", T.LongType()),
     T.StructField("n_prints", T.IntegerType()),
     T.StructField("rescued", T.BooleanType()),
+    T.StructField("n_std", T.IntegerType()),
     T.StructField("hashes", T.ArrayType(T.LongType())),
     T.StructField("t1s", T.ArrayType(T.IntegerType())),
     T.StructField("f1s", T.ArrayType(T.IntegerType())),
@@ -95,7 +96,7 @@ def make_extract_fn(cfg: PanakoConfig):
             n = len(batch)
             out: dict[str, list] = {k: [] for k in (
                 "image_id", "iid", "w", "h", "phash", "n_prints",
-                "rescued", "hashes",
+                "rescued", "n_std", "hashes",
                 "t1s", "f1s", "tile_hashes", "tile_t1s", "tile_f1s",
                 "tile_ids", "tile_resc", "psnr_ok", "err")}
             shingle_lists: list[np.ndarray] = []
@@ -110,6 +111,7 @@ def make_extract_fn(cfg: PanakoConfig):
                 ff = np.zeros(0, np.int32)
                 tiles: list = []
                 rescued = False
+                n_std = 0
                 try:
                     img = codec.decode(bytes(row.bytes), int(row.w),
                                        int(row.h), row.fmt)
@@ -120,7 +122,7 @@ def make_extract_fn(cfg: PanakoConfig):
                     psnr_ok = codec.psnr(img, rt) >= 40.0
                     # one raster pass yields the stored prints AND the
                     # crop-rescue tile probes (profiles shared)
-                    (hh, tt, ff), tiles, rescued = \
+                    (hh, tt, ff), tiles, rescued, n_std = \
                         extract_prints_with_tiles(codec.to_gray(img), cfg)
                 except Exception as e:  # noqa: BLE001 — one corrupt row
                     # must never kill a 10^12-row job; the err column and
@@ -134,6 +136,7 @@ def make_extract_fn(cfg: PanakoConfig):
                 out["phash"].append(int(row.phash))
                 out["n_prints"].append(int(hh.size))
                 out["rescued"].append(bool(rescued))
+                out["n_std"].append(int(n_std))
                 out["hashes"].append(hh)
                 out["t1s"].append(tt)
                 out["f1s"].append(ff)
@@ -213,18 +216,26 @@ def run_extract(images: DataFrame, cfg: PanakoConfig,
 
 
 def split_prints(extracted: DataFrame) -> DataFrame:
-    """Extracted -> prints(image_id, hash, t1, f1) (JVM-side explode)."""
-    z = F.explode(F.arrays_zip(F.col("hashes").alias("hash"),
-                               F.col("t1s").alias("t1"),
-                               F.col("f1s").alias("f1"))).alias("p")
+    """Extracted -> prints(image_id, hash, t1, f1, is_std)
+    (JVM-side posexplode).
+
+    `is_std` marks the standard-window prints (position < n_std;
+    prints_with_rescue emits them first) — the tile channel's index
+    scope. Dense rescue extras (is_std=false) serve the landmark
+    channel only (candidates.tile_hits / the kernel docstring carry
+    the measured rationale)."""
+    pz = F.posexplode(F.arrays_zip(F.col("hashes").alias("hash"),
+                                   F.col("t1s").alias("t1"),
+                                   F.col("f1s").alias("f1")))
     ids = (["image_id", "iid"] if "iid" in extracted.columns
            else ["image_id"])  # pre-iid stores append without the column
     return (extracted.where(F.col("err").isNull())
-            .select(*ids, z)
+            .select(*ids, "n_std", pz.alias("pos", "p"))
             .select(*ids,
                     F.col("p.hash").alias("hash"),
                     F.col("p.t1").alias("t1"),
-                    F.col("p.f1").alias("f1")))
+                    F.col("p.f1").alias("f1"),
+                    (F.col("pos") < F.col("n_std")).alias("is_std")))
 
 
 def split_tile_prints(extracted: DataFrame) -> DataFrame:

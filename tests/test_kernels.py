@@ -448,7 +448,8 @@ def test_tile_prints_bit_exact_vs_sliced_image(cfg, tile_mode):
     rows, _ = synth.generate_corpus(6, dup_fraction=0.4, seed=13)
     for r in rows:
         g = to_gray(r.pixels)
-        (fh, ft, ff), tiles, _resc = extract_prints_with_tiles(g, cfg)
+        (fh, ft, ff), tiles, _resc, _n_std = extract_prints_with_tiles(
+            g, cfg)
         dh, dt, df = extract_prints(g, cfg)
         assert np.array_equal(fh, dh)
         assert np.array_equal(ft, dt)
@@ -487,10 +488,10 @@ def test_rescue_print_volume_bounded(cfg):
     on_full = on_tile = off_full = off_tile = 0
     for r in rows:
         g = to_gray(r.pixels)
-        (h, _, _), tiles, _ = extract_prints_with_tiles(g, cfg)
+        (h, _, _), tiles, _, _ = extract_prints_with_tiles(g, cfg)
         on_full += h.size
         on_tile += sum(hh.size for _, hh, _, _, _ in tiles)
-        (h0, _, _), tiles0, _ = extract_prints_with_tiles(g, nocfg)
+        (h0, _, _), tiles0, _, _ = extract_prints_with_tiles(g, nocfg)
         off_full += h0.size
         off_tile += sum(hh.size for _, hh, _, _, _ in tiles0)
         assert h.size <= cfg.max_prints_per_image

@@ -85,21 +85,23 @@ def test_truth_recall_at_scale(pipeline_pairs_m, corpus_m):
     tile channel (query-side vertical tiling, landmarks.tile_row_ranges)
     lifts that to 0.9846; the round-4 print-density rescue
     (landmarks.prints_with_rescue + the composite rescue precision
-    gate) recovers 3 of the 5 residual tiny-image crop misses as
-    DIRECT pairs -> 0.9938, with out-of-clique pairs at the pre-rescue
+    gate) recovers the two rescued-x-rescued crop edges as DIRECT
+    pairs -> 0.9907, with out-of-clique pairs at the pre-rescue
     baseline (test_rescue_keeps_out_of_clique_noise_at_baseline).
 
-    The two remaining direct misses: (a) a 191x146 crop_subst pair
+    The three remaining direct misses: (a) a 191x146 crop_subst pair
     that shares too few surviving landmarks at ANY window density and
     whose captions lost >60% of their shingles — no channel carries
-    recoverable signal; (b) a crop-dup x contain-dup edge between two
-    siblings that both match their shared base directly, so the
-    CLUSTER assignment already unites them (asserted in
-    test_truth_closure_recall_at_scale). Recovering (b) as a direct
-    edge requires dense-picking starved tiles of every normal image
-    (cfg.tile_rescue_mode="always") and was measured to cost 2.3x tile
-    probe volume for zero cluster-level gain — rejected under the
-    repo's throughput-first rule (BENCH/BASELINE.md)."""
+    recoverable signal; (b, c) two dup-x-dup sibling edges whose
+    endpoints both match their shared base directly, so the CLUSTER
+    assignment already unites them (asserted in
+    test_truth_closure_recall_at_scale). Recovering (b, c) as direct
+    edges requires indexing dense rescue extras for the tile channel
+    (2x its dominant join cost) or dense-picking starved tiles of
+    every normal image (2.3x tile probe volume) — both measured to
+    produce bit-identical clusters to this config, so both were
+    rejected under the repo's throughput-first rule
+    (BENCH/ATTRIBUTION.md "Fix 5")."""
     pairs, clique = pipeline_pairs_m[0], corpus_m[1]
     recall = len(pairs & clique) / len(clique)
     assert recall >= 0.99, (
@@ -111,9 +113,11 @@ def test_truth_closure_recall_at_scale(pipeline_pairs_m, corpus_m):
     deliverable is the cluster assignment (the reference's contract is
     query-finds-original, PanakoStrategy.java's resolve-to-resource),
     so a clique edge counts as recovered when its endpoints land in
-    the same cluster. Measured 0.9969 — identical to the 2.3x-costlier
-    tile_rescue_mode="always" config (only the unrecoverable 191x146
-    crop pair splits). Guarded against cheap inflation by
+    the same cluster. Measured 0.9969 — identical to both costlier
+    configs (dense extras in the tile index: 2x that channel's join;
+    tile_rescue_mode="always": 2.3x its probe volume); only the
+    unrecoverable 191x146 crop pair splits. Guarded against cheap
+    inflation by
     test_rescue_keeps_out_of_clique_noise_at_baseline (direct false
     pairs <= 15) and the closure_ooc bound here: wrongly merging
     cliques would blow the implied-pair count past it."""
