@@ -98,16 +98,18 @@ class PanakoConfig:
     #   "parent" — only tiles of images whose FULL pick was rescued
     #   "never"  — tiles always use the standard windows
     # Tiles dominate probe volume (~6x the full-print volume), so this
-    # knob controls most of the rescue's join cost. Measured at 642
-    # images: "always" buys exactly ONE extra DIRECT pair over "never"
-    # (a crop dup x contain dup of the same base) at 2.3x tile probe
-    # volume — and that pair's images are already co-clustered through
-    # their shared base, so the CLUSTER assignment (the dedup
+    # knob controls most of the rescue's probe-side join cost. Measured
+    # at 642 images: "always" buys exactly ONE extra DIRECT pair over
+    # "never" (a crop dup x contain dup of the same base) at 2.3x tile
+    # probe volume — and that pair's images are already co-clustered
+    # through their shared base, so the CLUSTER assignment (the dedup
     # deliverable, and the reference's query-finds-original contract)
     # is bit-identical between the modes: closure recall 0.9969 /
-    # closure out-of-clique 38-39 both ways. "never" ships; the
-    # rescue's whole win then costs 1.13x probe volume instead of
-    # 2.28x. Sweep + closure metrics pinned in test_parity_scale.py.
+    # closure out-of-clique 38-39 both ways. "never" ships. (The
+    # INDEX-side twin of this decision — dense rescue extras are
+    # landmark-channel-only — lives in prints_with_rescue's n_std
+    # split; BENCH/ATTRIBUTION.md "Fix 5" has the full measured arc.)
+    # Sweep + closure metrics pinned in test_parity_scale.py.
     tile_rescue_mode: str = "never"
     # Starvation floor for TILE picks when tile_rescue_mode allows
     # dense tiles ("always"/"parent"; inert under "never"). Tiles are
