@@ -191,6 +191,30 @@ def main() -> None:
                          "windows)")
     args = ap.parse_args()
 
+    # Staleness gate (VERDICT r4 #1): the shipped --py-files artifact must
+    # match the sources this bench run measures. The build is deterministic,
+    # so rebuild-on-mismatch both fixes dist/ in place (git then shows it
+    # dirty, forcing a commit) and guarantees the numbers below were
+    # produced by code identical to the artifact.
+    try:
+        from tools.make_pyfiles import OUT as _ZIP, build as _build_zip
+        import tempfile as _tf
+        with _tf.TemporaryDirectory() as _td:
+            _fresh = _build_zip(os.path.join(_td, "fresh.zip"))
+            with open(_fresh, "rb") as f:
+                _want = f.read()
+        _have = b""
+        if os.path.exists(_ZIP):
+            with open(_ZIP, "rb") as f:
+                _have = f.read()
+        if _have != _want:
+            _build_zip(_ZIP)
+            print("bench: dist/panako_spark.zip was stale — rebuilt "
+                  "(commit the refreshed zip)", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — gate must not kill a bench run
+        print(f"bench: zip freshness gate skipped: {e}",
+              file=sys.stderr, flush=True)
+
     if not args.no_quiet_wait:
         probe = wait_for_quiet()
         print(f"bench: pre-flight probe steal {probe:.1f}%",
