@@ -33,8 +33,13 @@ MAGIC = b"Obj\x01"
 
 # ---------------------------------------------------------------- encoding --
 def _zigzag_encode(n: int) -> bytes:
-    u = (n << 1) ^ (n >> 63)  # 64-bit zigzag (Python ints are unbounded;
-    out = bytearray()         # Avro long is 64-bit, enforced by callers)
+    # Avro long is 64-bit; Python ints are unbounded, so enforce the
+    # range HERE — an out-of-range value would otherwise emit an 11+
+    # byte varint that independent Avro readers reject
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"avro long out of int64 range: {n}")
+    u = (n << 1) ^ (n >> 63)  # 64-bit zigzag
+    out = bytearray()
     while True:
         b = u & 0x7F
         u >>= 7

@@ -41,6 +41,7 @@ storage engine the same standing.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -178,6 +179,14 @@ def _manifest_file_schema() -> dict:
 
 # entry status codes (spec)
 EXISTING, ADDED, DELETED = 0, 1, 2
+
+
+def _uri_to_path(uri: str) -> str:
+    """file:-URI (as input_file_name reports) -> absolute os path."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return os.path.abspath(unquote(parsed.path) if parsed.scheme else uri)
 
 
 class CommitConflict(Exception):
@@ -357,23 +366,30 @@ class IcebergLiteTable:
         self._commit(md, base_version)
 
     # ---- data files ----
-    def _import_parquet_dir(self, tmpdir: str, seq: int,
-                            snapshot_id: int) -> list[dict]:
-        """Move Spark-written part files into data/ -> ADDED entries."""
+    def _import_parquet_dir(self, tmpdir: str) -> list[tuple[str, int]]:
+        """Move Spark-written part files into data/ ONCE, returning
+        (path, row_count) pairs. Deliberately snapshot-agnostic: a
+        commit retry after CommitConflict must reuse these exact files
+        (re-running the move would find an emptied tmpdir and commit an
+        empty manifest — the silent-data-loss race ADVICE r4 flagged).
+        Entries are minted per attempt by _entries_for."""
         import pyarrow.parquet as pq
 
         os.makedirs(self.data_dir, exist_ok=True)
-        entries = []
+        files = []
         parts = sorted(p for p in os.listdir(tmpdir)
                        if p.endswith(".parquet") and p.startswith("part-"))
         for i, part in enumerate(parts):
             dst = os.path.join(self.data_dir,
                                f"{uuid.uuid4().hex}-{i:05d}.parquet")
             shutil.move(os.path.join(tmpdir, part), dst)
-            entries.append(self._entry_for_file(
-                dst, pq.ParquetFile(dst).metadata.num_rows,
-                ADDED, seq, snapshot_id))
-        return entries
+            files.append((dst, pq.ParquetFile(dst).metadata.num_rows))
+        return files
+
+    def _entries_for(self, files: list[tuple[str, int]], seq: int,
+                     snapshot_id: int) -> list[dict]:
+        return [self._entry_for_file(path, rows, ADDED, seq, snapshot_id)
+                for path, rows in files]
 
     @staticmethod
     def _entry_for_file(path: str, rows: int, status: int, seq: int,
@@ -419,11 +435,21 @@ class IcebergLiteTable:
     def create_or_replace(self, df: DataFrame) -> None:
         tmpdir = self._stage_dataframe(df)
         try:
-            self._retrying(self._do_replace, df.schema, tmpdir)
+            files = self._import_parquet_dir(tmpdir)
         finally:
             shutil.rmtree(tmpdir, ignore_errors=True)
+        try:
+            self._retrying(self._do_replace, df.schema, files)
+        except BaseException:
+            # commit never landed: the imported files are unreachable
+            # from any snapshot — remove them instead of orphaning
+            for path, _ in files:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+            raise
 
-    def _do_replace(self, schema: T.StructType, tmpdir: str) -> None:
+    def _do_replace(self, schema: T.StructType,
+                    files: list[tuple[str, int]]) -> None:
         base = self.current_version()
         if base > 0:
             md = self.metadata()
@@ -433,7 +459,7 @@ class IcebergLiteTable:
             md = self._new_metadata(schema)
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
-        entries = self._import_parquet_dir(tmpdir, seq, snapshot_id)
+        entries = self._entries_for(files, seq, snapshot_id)
         manifest = self._write_manifest(entries, seq, snapshot_id,
                                         md["schemas"][0])
         self._commit_snapshot(md, base, [manifest], "overwrite",
@@ -449,16 +475,23 @@ class IcebergLiteTable:
                 f"iceberg_lite: no such table at {self.location}")
         tmpdir = self._stage_dataframe(df)
         try:
-            self._retrying(self._do_append, tmpdir)
+            files = self._import_parquet_dir(tmpdir)
         finally:
             shutil.rmtree(tmpdir, ignore_errors=True)
+        try:
+            self._retrying(self._do_append, files)
+        except BaseException:
+            for path, _ in files:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+            raise
 
-    def _do_append(self, tmpdir: str) -> None:
+    def _do_append(self, files: list[tuple[str, int]]) -> None:
         base = self.current_version()
         md = self.metadata()
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
-        entries = self._import_parquet_dir(tmpdir, seq, snapshot_id)
+        entries = self._entries_for(files, seq, snapshot_id)
         manifest = self._write_manifest(entries, seq, snapshot_id,
                                         md["schemas"][0])
         prior = self._current_manifests(md)
@@ -495,6 +528,7 @@ class IcebergLiteTable:
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
         out_entries: list[dict] = []
+        written: list[str] = []
         stats = {"files_scanned": 0, "files_rewritten": 0,
                  "files_dropped": 0, "rows_deleted": 0}
         for e in self.live_entries():
@@ -522,15 +556,102 @@ class IcebergLiteTable:
             dst = os.path.join(self.data_dir,
                                f"{uuid.uuid4().hex}-cow.parquet")
             pq.write_table(kept, dst)
+            written.append(dst)
             stats["files_rewritten"] += 1
             out_entries.append(self._entry_for_file(
                 dst, kept.num_rows, ADDED, seq, snapshot_id))
-        manifest = self._write_manifest(out_entries, seq, snapshot_id,
-                                        md["schemas"][0])
-        self._commit_snapshot(md, base, [manifest], "delete",
-                              snapshot_id,
-                              {"deleted-records":
-                               str(stats["rows_deleted"])})
+        try:
+            manifest = self._write_manifest(out_entries, seq, snapshot_id,
+                                            md["schemas"][0])
+            self._commit_snapshot(md, base, [manifest], "delete",
+                                  snapshot_id,
+                                  {"deleted-records":
+                                   str(stats["rows_deleted"])})
+        except BaseException:
+            # this attempt's COW rewrites never became reachable; the
+            # retry recomputes against the NEW snapshot, so drop them
+            # rather than orphaning one set per conflicted attempt
+            for dst in written:
+                with contextlib.suppress(OSError):
+                    os.remove(dst)
+            raise
+        return stats
+
+    def delete_matching_df(self, spark: SparkSession, ids_df: DataFrame,
+                           id_col: str) -> dict:
+        """Distributed copy-on-write DELETE: the ids relation is never
+        collected to the driver (VERDICT r4 #7). File location and the
+        rewrite both run as Spark jobs; only the bounded per-FILE hit
+        list (#live files, not #ids) reaches the driver."""
+        return self._retrying(self._do_delete_df, spark,
+                              ids_df.select(id_col), id_col)
+
+    def _do_delete_df(self, spark: SparkSession, ids_df: DataFrame,
+                      id_col: str) -> dict:
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        md = self.metadata()
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = self._new_snapshot_id()
+        live = self.live_entries()
+        stats = {"files_scanned": len(live), "files_rewritten": 0,
+                 "files_dropped": 0, "rows_deleted": 0}
+        if not live:
+            files: list[tuple[str, int]] = []
+            hit_paths: set[str] = set()
+        else:
+            schema = self.spark_schema()
+            src = (spark.read.schema(schema)
+                   .parquet(*[e["data_file"]["file_path"] for e in live])
+                   .withColumn("_file", F.input_file_name()))
+            # which files contain matching rows + how many (semi-join:
+            # ids stay distributed; output is bounded by #files)
+            hits = (src.select("_file", id_col)
+                    .join(ids_df, id_col, "left_semi")
+                    .groupBy("_file").count().collect())
+            # filter by the RAW URI values Spark reported (never
+            # reconstruct them — file: vs file:/// would silently match
+            # nothing and drop every kept row of the hit files);
+            # normalize only for comparing against entry os-paths
+            hit_uris = [r["_file"] for r in hits]
+            hit_paths = {_uri_to_path(u) for u in hit_uris}
+            stats["rows_deleted"] = sum(r["count"] for r in hits)
+            files = []
+            if hit_uris:
+                # COW rewrite of ONLY the hit files, via distributed
+                # anti-join; kept rows land as fresh data files
+                kept = (src.where(F.col("_file").isin(hit_uris))
+                        .join(ids_df, id_col, "left_anti")
+                        .drop("_file"))
+                tmpdir = self._stage_dataframe(kept)
+                try:
+                    files = self._import_parquet_dir(tmpdir)
+                finally:
+                    shutil.rmtree(tmpdir, ignore_errors=True)
+        dropped_or_rewritten = len(hit_paths)
+        stats["files_rewritten"] = len(files)
+        stats["files_dropped"] = max(
+            0, dropped_or_rewritten - stats["files_rewritten"])
+        out_entries = [dict(e, status=EXISTING) for e in live
+                       if os.path.abspath(e["data_file"]["file_path"])
+                       not in hit_paths]
+        out_entries += self._entries_for(files, seq, snapshot_id)
+        # drop zero-row rewrite parts Spark may emit
+        out_entries = [e for e in out_entries
+                       if e["data_file"]["record_count"] > 0]
+        try:
+            manifest = self._write_manifest(out_entries, seq, snapshot_id,
+                                            md["schemas"][0])
+            self._commit_snapshot(md, base, [manifest], "delete",
+                                  snapshot_id,
+                                  {"deleted-records":
+                                   str(stats["rows_deleted"])})
+        except BaseException:
+            for path, _ in files:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+            raise
         return stats
 
     def drop(self) -> None:
@@ -586,9 +707,12 @@ class IcebergLiteWriter(IcebergWriter):
 
     def delete_ids(self, spark: SparkSession, name: str,
                    ids_view: str) -> None:
-        ids = [r[0] for r in spark.table(ids_view).collect()]
-        self.last_delete_stats = self._table(name).delete_matching_ids(
-            "image_id", ids)
+        # same contract as the JVM writer's `DELETE ... WHERE image_id IN
+        # (SELECT image_id FROM view)`: select the column BY NAME and
+        # keep the ids relation distributed (no driver collect)
+        ids_df = spark.table(ids_view).select("image_id")
+        self.last_delete_stats = self._table(name).delete_matching_df(
+            spark, ids_df, "image_id")
 
     def drop_table(self, spark: SparkSession, name: str) -> None:
         self._table(name).drop()

@@ -24,22 +24,45 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-# (path -> (n_rows, dim)) probe memo: the ANN operators need the corpus
-# size (tier pick) and vector dimensionality (hyperplane/centroid
-# literals), which would otherwise cost one count()/first() driver
-# action PER CALL. The table is immutable within a session (parquet
-# fixtures / Iceberg snapshots), so probe once per path per process.
+# (path+file-signature -> (n_rows, dim)) probe memo: the ANN operators
+# need the corpus size (tier pick) and vector dimensionality
+# (hyperplane/centroid literals), which would otherwise cost one
+# count()/first() driver action PER CALL. Keyed on the parquet files'
+# (name, size, mtime) — not path alone — so a fixture regenerated at
+# the same path within one process invalidates the memo instead of
+# silently steering tier selection with stale n/dim (ADVICE r4).
 # Callers may also pass n/dim hints to skip the probe entirely.
-_EMB_META: dict[str, tuple[int, int]] = {}
+_EMB_META: dict[tuple, tuple[int, int]] = {}
+
+
+def _emb_sig(sf_dir: str) -> tuple:
+    """Cheap content signature of embeddings.parquet at sf_dir (file or
+    directory of part files)."""
+    import os
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(p):
+            stats = []
+            for name in sorted(os.listdir(p)):
+                if name.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(p, name))
+                stats.append((name, st.st_size, st.st_mtime_ns))
+            return (p, tuple(stats))
+        st = os.stat(p)
+        return (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (p, None)
 
 
 def _emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    meta = _EMB_META.get(sf_dir)
+    key = _emb_sig(sf_dir)
+    meta = _EMB_META.get(key)
     if meta is None:
         emb = _emb(spark, sf_dir)
         meta = (emb.count(),
                 len(emb.select("embedding").first()["embedding"]))
-        _EMB_META[sf_dir] = meta
+        _EMB_META[key] = meta
     return meta
 
 
@@ -306,7 +329,7 @@ def train_ivf_centroids(sample: np.ndarray, n_cells: int,
     return C
 
 
-_IVF_CENTROIDS: dict[tuple[str, int], np.ndarray] = {}
+_IVF_CENTROIDS: dict[tuple, np.ndarray] = {}
 
 
 def _ivf_sample_spark(emb: DataFrame) -> np.ndarray:
@@ -358,9 +381,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_cells: int = 16,
     if dim is None:
         dim = _emb_meta(spark, sf_dir)[1]
     if trained:
-        ck = (sf_dir, n_cells)
-        if ck not in _IVF_CENTROIDS:  # same immutability argument as
-            _IVF_CENTROIDS[ck] = (    # _EMB_META: train once per path
+        ck = (_emb_sig(sf_dir), n_cells)  # content-keyed like _EMB_META
+        if ck not in _IVF_CENTROIDS:
+            _IVF_CENTROIDS[ck] = (
                 train_ivf_centroids(_ivf_sample_spark(emb), n_cells))
         cents = _IVF_CENTROIDS[ck]
     else:
