@@ -592,4 +592,50 @@ def oracle_sql() -> dict[str, str]:
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.ue, b.ue) >= 0.4
         """,
+        **_inline_oracles(),
     }
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # repr round-trips float64 exactly; the explicit ::DOUBLE stops
+        # DuckDB from typing the literal as DECIMAL (which would come
+        # back as Decimal, not float, and fail the bit-exact compare)
+        # the repr must be quoted: a bare numeric literal is typed
+        # DECIMAL(w,s) before the cast, dropping the last ulp
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _inline_oracles() -> dict[str, str]:
+    """Oracles for the 4 queries over deterministic SYNTHETIC corpora
+    (no testdata table to recompute from): the expected rowsets are
+    computed by the pure-Python golden twins — matcher/NumPy, never the
+    Spark code under test — cross-checked bit-exact against Spark, and
+    committed by tools/gen_inline_oracles.py. Rendered here as VALUES
+    literals so the driver's rows+schema+hash compare gates them exactly
+    like the table-backed queries (closes the r4 no_oracle rows)."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "inline_oracles.json")
+    try:
+        with open(path) as f:
+            fixture = json.load(f)
+    except OSError:
+        return {}
+    out = {}
+    for name, spec in fixture.items():
+        cols = ", ".join(spec["columns"])
+        rows = ",\n              ".join(
+            "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+            for row in spec["rows"])
+        out[name] = (f"SELECT * FROM (VALUES\n              {rows}\n"
+                     f"            ) AS t({cols})")
+    return out
