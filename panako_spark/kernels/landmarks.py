@@ -70,25 +70,22 @@ def enumerate_triplets(t: np.ndarray, f: np.ndarray, cfg: PanakoConfig):
     if pi.size == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
-    # compose (i->j) with (j->k): group pair list by j
-    lefts: list[np.ndarray] = []   # i
-    mids: list[np.ndarray] = []    # j
-    rights: list[np.ndarray] = []  # k
-    # successors per node, from the same pair list
+    # compose (i->j) with (j->k), fully vectorized: pair p = (i, j)
+    # fans out to every successor pair (j, k); successors of node j are
+    # the contiguous run pi == j of the (sorted-by-pi) pair list
     succ_start = np.searchsorted(pi, np.arange(n), side="left")
     succ_end = np.searchsorted(pi, np.arange(n), side="right")
-    for j in np.unique(pj):
-        i_here = pi[pj == j]
-        k_here = pj[succ_start[j]:succ_end[j]]
-        if i_here.size and k_here.size:
-            lefts.append(np.repeat(i_here, k_here.size))
-            rights.append(np.tile(k_here, i_here.size))
-            mids.append(np.full(i_here.size * k_here.size, j, np.int64))
-    if not lefts:
+    deg = (succ_end - succ_start)[pj]          # successors per pair
+    total = int(deg.sum())
+    if total == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
-    return (np.concatenate(lefts), np.concatenate(mids),
-            np.concatenate(rights))
+    lefts = np.repeat(pi, deg)
+    mids = np.repeat(pj, deg)
+    starts = np.cumsum(deg) - deg              # output offset per pair
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, deg)
+    rights = pj[np.repeat(succ_start[pj], deg) + within]
+    return lefts, mids, rights
 
 
 def pack_hashes(
@@ -170,26 +167,74 @@ def landmarks(t: np.ndarray, f: np.ndarray, m: np.ndarray,
     cfg.strategy selects the hash layout: "panako" (scale-invariant
     E7) or "olaf" (rigid E8, with cfg.olaf_eps_per_fp = 2 or 3).
     """
-    if cfg.strategy == "olaf" and cfg.olaf_eps_per_fp == 2:
-        i, j = enumerate_pairs(t, f, cfg)
-        k = j   # the reference stores (e1, e2, e2) in 2-point mode
-    else:
-        i, j, k = enumerate_triplets(t, f, cfg)
-    if i.size == 0:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
-                np.zeros(0, np.int32))
+    return landmarks_batch([(t, f, m)], cfg)[0]
+
+
+def landmarks_batch(peaks_list, cfg: PanakoConfig):
+    """landmarks() over many peak sets with ONE pack + ONE sort.
+
+    Element i is bit-identical to landmarks(*peaks_list[i], cfg) — the
+    per-slice triplet sets are enumerated independently, then hashed in
+    one concatenated pack_hashes call and deduped by one global
+    lexsort keyed (slice, hash, t1, f1), whose within-slice order is
+    exactly the per-slice sort. The extract hot path feeds the full
+    image + its crop-rescue tiles (~8-14 slices of ~10-40 peaks) here;
+    per-slice, the NumPy dispatch overhead of pack+sort dominated the
+    arithmetic ~10x at those sizes."""
+    two_point = cfg.strategy == "olaf" and cfg.olaf_eps_per_fp == 2
     packer = pack_hashes_olaf if cfg.strategy == "olaf" else pack_hashes
-    h = packer(t[i], f[i], m[i], t[j], f[j], m[j], t[k], f[k], m[k])
-    t1 = t[i].astype(np.int32)
-    f1 = f[i].astype(np.int32)
-    rows = np.stack([h, t1.astype(np.int64), f1.astype(np.int64)], axis=1)
-    rows = np.unique(rows, axis=0)
-    if rows.shape[0] > cfg.max_prints_per_image:
-        # deterministic cap in (t1, hash) order (reference caps hit lists)
-        order = np.lexsort((rows[:, 0], rows[:, 1]))[: cfg.max_prints_per_image]
-        rows = rows[np.sort(order)]
-    return (rows[:, 0].astype(np.int64), rows[:, 1].astype(np.int32),
-            rows[:, 2].astype(np.int32))
+    idx_i, idx_j, idx_k, sids = [], [], [], []
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int32),
+             np.zeros(0, np.int32))
+    for sid, (t, f, _m) in enumerate(peaks_list):
+        if two_point:
+            i, j = enumerate_pairs(t, f, cfg)
+            k = j   # the reference stores (e1, e2, e2) in 2-point mode
+        else:
+            i, j, k = enumerate_triplets(t, f, cfg)
+        if i.size:
+            idx_i.append(i)
+            idx_j.append(j)
+            idx_k.append(k)
+            sids.append(np.full(i.size, sid, np.int64))
+    if not idx_i:
+        return [empty for _ in peaks_list]
+    offs = np.cumsum([0] + [t.size for t, _f, _m in peaks_list[:-1]])
+    cat = np.concatenate
+    sid_arr = cat(sids)
+    off_per = offs[sid_arr]
+    gi = cat(idx_i) + off_per
+    gj = cat(idx_j) + off_per
+    gk = cat(idx_k) + off_per
+    T = cat([t for t, _f, _m in peaks_list])
+    Fq = cat([f for _t, f, _m in peaks_list])
+    M = cat([m for _t, _f, m in peaks_list])
+    h = packer(T[gi], Fq[gi], M[gi], T[gj], Fq[gj], M[gj],
+               T[gk], Fq[gk], M[gk])
+    t1 = T[gi].astype(np.int64)
+    f1 = Fq[gi].astype(np.int64)
+    # global sorted-row dedup == per-slice np.unique(rows, axis=0)
+    # bit-for-bit (slice id is the outermost key)
+    order = np.lexsort((f1, t1, h, sid_arr))
+    rows = np.stack([sid_arr[order], h[order], t1[order], f1[order]],
+                    axis=1)
+    if rows.shape[0] > 1:
+        keep = np.empty(rows.shape[0], bool)
+        keep[0] = True
+        np.any(rows[1:] != rows[:-1], axis=1, out=keep[1:])
+        rows = rows[keep]
+    bounds = np.searchsorted(rows[:, 0], np.arange(len(peaks_list) + 1))
+    out = []
+    for sid in range(len(peaks_list)):
+        r = rows[bounds[sid]:bounds[sid + 1], 1:]
+        if r.shape[0] > cfg.max_prints_per_image:
+            # deterministic cap in (t1, hash) order (reference caps
+            # hit lists)
+            o = np.lexsort((r[:, 0], r[:, 1]))[: cfg.max_prints_per_image]
+            r = r[np.sort(o)]
+        out.append((r[:, 0].astype(np.int64), r[:, 1].astype(np.int32),
+                    r[:, 2].astype(np.int32)))
+    return out
 
 
 def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
@@ -227,15 +272,30 @@ def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
 
     if floor is None:
         floor = cfg.print_rescue_floor
-    t_s, f_s, m_s = find_peaks(spec, cfg)
-    h, t1, f1 = landmarks(t_s, f_s, m_s, cfg)
-    rescued = (0 < h.size < floor
-               and (cfg.peak_rescue_time < cfg.max_filter_time
-                    or cfg.peak_rescue_freq < cfg.max_filter_freq))
-    if not rescued:
+    std_peaks = find_peaks(spec, cfg)
+    h, t1, f1 = landmarks(*std_peaks, cfg)
+    if not _needs_rescue(h.size, floor, cfg):
         return h, t1, f1, False, h.size
-    t_d, f_d, m_d = find_peaks(
+    dense_peaks = find_peaks(
         spec, cfg, windows=(cfg.peak_rescue_time, cfg.peak_rescue_freq))
+    return _apply_rescue(std_peaks, dense_peaks, h, t1, f1, cfg)
+
+
+def _needs_rescue(n_prints: int, floor: int, cfg: PanakoConfig) -> bool:
+    """The prints_with_rescue trigger condition, factored out so the
+    batched extract path can decide which slices need a dense re-pick
+    before running it as ONE find_peaks_batch call."""
+    return (0 < n_prints < floor
+            and (cfg.peak_rescue_time < cfg.max_filter_time
+                 or cfg.peak_rescue_freq < cfg.max_filter_freq))
+
+
+def _apply_rescue(std_peaks, dense_peaks, h, t1, f1, cfg: PanakoConfig):
+    """The dense-pick half of prints_with_rescue: given the standard
+    peaks/prints and the dense re-pick, cap and merge. Shared verbatim
+    by the single-spec and batched extract paths."""
+    t_s, f_s, _ = std_peaks
+    t_d, f_d, m_d = dense_peaks
     cap = cfg.rescue_max_peaks
     if 0 < cap < t_d.size:
         # Cap the dense pick (config.py `rescue_max_peaks` comment
@@ -325,32 +385,51 @@ def extract_prints_with_tiles(gray: np.ndarray, cfg: PanakoConfig):
     aligns spuriously exactly like a rescued image does (measured: two
     score-12/13 false tile pairs leaked through the image-level flags
     alone), so the tile channel gates on (image flags OR tile flag)."""
+    from panako_spark.kernels.peaks import find_peaks_batch
     from panako_spark.kernels.spectral import (
-        column_profiles, profiles_to_spectrogram,
+        column_profiles, spectrograms_sliced,
     )
 
     profiles = column_profiles(gray, cfg)
+    tile_ranges = (tile_row_ranges(gray.shape[0], cfg)
+                   if cfg.tile_rescue else [])
+    # slice 0 is the full image (profiles' column count IS the image
+    # height — column_profiles documents the row independence); the
+    # rest are the probe tiles. One batched spectrogram + peak pass
+    # replaces 1 + n_tiles small 2-D passes (the per-call NumPy
+    # dispatch overhead dominated the extract stage at bench sizes:
+    # 14.3 -> ~4 ms/img measured on the 200-image profile corpus).
+    ranges = [(0, profiles.shape[1])] + tile_ranges
+    stack = spectrograms_sliced(profiles, ranges, cfg)
+    std_peaks = find_peaks_batch(stack, cfg)
+    lms = landmarks_batch(std_peaks, cfg)
 
-    def prints_of(prof_slice: np.ndarray):
-        return prints_with_rescue(
-            profiles_to_spectrogram(prof_slice, cfg), cfg)
+    rescued = _needs_rescue(lms[0][0].size, cfg.print_rescue_floor, cfg)
+    dense_ok = (cfg.tile_rescue_mode == "always"
+                or (cfg.tile_rescue_mode == "parent" and rescued))
+    needs = [rescued] + [
+        dense_ok and _needs_rescue(lm[0].size, cfg.tile_rescue_floor, cfg)
+        for lm in lms[1:]
+    ]
+    dense_map: dict[int, tuple] = {}
+    needy = [i for i, n in enumerate(needs) if n]
+    if needy:
+        dense_all = find_peaks_batch(
+            stack[needy], cfg,
+            windows=(cfg.peak_rescue_time, cfg.peak_rescue_freq))
+        dense_map = dict(zip(needy, dense_all))
 
-    hh, tt, ff, rescued, n_std = prints_of(profiles)
-    full = (hh, tt, ff)
+    def finish(idx: int):
+        if needs[idx]:
+            return _apply_rescue(std_peaks[idx], dense_map[idx],
+                                 *lms[idx], cfg)
+        h, t1, f1 = lms[idx]
+        return h, t1, f1, False, h.size
+
+    fh, ft, ff, _, n_std = finish(0)
     tiles = []
-    if cfg.tile_rescue:
-        dense_ok = (cfg.tile_rescue_mode == "always"
-                    or (cfg.tile_rescue_mode == "parent" and rescued))
-        for tid, (r0, r1) in enumerate(tile_row_ranges(gray.shape[0], cfg)):
-            tspec = profiles_to_spectrogram(profiles[:, r0:r1], cfg)
-            if dense_ok:
-                hh, tt, ff, resc_t, _ = prints_with_rescue(
-                    tspec, cfg, floor=cfg.tile_rescue_floor)
-            else:
-                from panako_spark.kernels.peaks import find_peaks
-
-                hh, tt, ff = landmarks(*find_peaks(tspec, cfg), cfg)
-                resc_t = False
-            if hh.size:
-                tiles.append((tid, hh, tt, ff, resc_t))
-    return full, tiles, rescued, n_std
+    for tid in range(len(tile_ranges)):
+        hh, tt, ffq, resc_t, _ = finish(1 + tid)
+        if hh.size:
+            tiles.append((tid, hh, tt, ffq, resc_t))
+    return (fh, ft, ff), tiles, rescued, n_std

@@ -127,7 +127,10 @@ def test_ann_repeat_calls_run_no_probe_actions(spark, monkeypatch):
 
     ANN.lsh_bucketed_neighbors(spark, SF)       # warm (probe allowed)
     ANN.ivf_topk(spark, SF, n_queries=2, k=2)   # warm centroid memo
-    assert SF in ANN._EMB_META and (SF, 16) in ANN._IVF_CENTROIDS
+    # memo keys carry the file signature (ADVICE r4: path alone would
+    # go stale when a fixture is regenerated in-process)
+    sig = ANN._emb_sig(SF)
+    assert sig in ANN._EMB_META and (sig, 16) in ANN._IVF_CENTROIDS
 
     def _boom(*a, **k):
         raise AssertionError("driver-action probe ran on a repeat call")
@@ -140,6 +143,6 @@ def test_ann_repeat_calls_run_no_probe_actions(spark, monkeypatch):
     ANN.ivf_topk(spark, SF, n_queries=2, k=2)
     ANN.cosine_near_dup_pairs(spark, SF)
     # and the hints skip the probe even on a cold path
-    ANN._EMB_META.pop(SF)
+    ANN._EMB_META.pop(sig)
     ANN.cosine_near_dup_pairs(spark, SF, n=500)
     ANN.lsh_bucketed_neighbors(spark, SF, dim=32)
