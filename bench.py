@@ -287,6 +287,20 @@ def main() -> None:
         n_images = images.count()
         ckpt = tempfile.mkdtemp(prefix="panako_bench_ckpt_")
         store = CheckpointStore(ckpt)
+        # Spin up every Python worker (NumPy/pandas imports + the Arrow
+        # task path) BEFORE the timer. The north rule compares
+        # steady-state THROUGHPUT at N vs 4N cores; a 10^12-row job
+        # amortizes worker spinup to zero, but at bench corpus sizes
+        # the 4N level pays 4x the spinup inside its timed window —
+        # measured r5 (store decomposition, 29k images): cold-worker
+        # local[32] extract 31-45 s vs 24 s warm, while local[8] moves
+        # ~3 s. Same treatment at both levels; table queries already
+        # warm via repeats.
+        from panako_spark.config import PanakoConfig as _PC
+        from panako_spark.stages.extract import run_extract as _warm_ex
+        import pyspark.sql.functions as _F
+        (_warm_ex(images.limit(args.cpus * 8).repartition(args.cpus), _PC())
+         .select(_F.sum("n_prints")).collect())
         s_pipe = _cpu_counters()
         gc0 = _jvm_gc_ms(spark)
         t0 = time.monotonic()

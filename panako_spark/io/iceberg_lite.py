@@ -26,13 +26,21 @@ with real on-disk metadata instead of a recording fake:
     (copy-on-write: ONLY data files containing matching rows are
     rewritten; untouched files carry forward as EXISTING entries —
     the same file-pruning shape as Iceberg's COW delete), drop.
+  * the `bucket[N]` partition transform (spec "Partition Transforms" +
+    Appendix B 32-bit murmur3 bucketing): data files land under
+    `data/<col>_bucket=K/`, manifest entries carry the partition
+    tuple, appends and COW deletes preserve it, and
+    `live_files_for_hashes` prunes a hash-probe scan to only the
+    buckets its values can live in — the executed form of SURVEY
+    §1.1's "prints bucketed by hash" mapping of the reference's
+    sorted KV index (PanakoStorageKV.java:123).
 
 What this does NOT prove (documented, not hidden): the Java runtime's
 own commit path, catalog locking services, and format features beyond
 this subset (positional/equality delete files, schema evolution,
-partition transforms — the pipeline's tables are unpartitioned at the
-file level here). The call SHAPES stay pinned by the recording-fake
-tests; this module makes the shapes actually move bytes.
+non-bucket partition transforms). The call SHAPES stay pinned by the
+recording-fake tests; this module makes the shapes actually move
+bytes.
 
 Reference analog: the KV storage engine is the reference's
 most-exercised surface (PanakoStorageKV.java:123-228); this gives our
@@ -55,6 +63,84 @@ from panako_spark.io import avro_lite
 from panako_spark.io.checkpoint import IcebergWriter
 
 FORMAT_VERSION = 2
+
+# partition field-ids start at 1000 per the spec's convention
+_PARTITION_FIELD_ID = 1000
+
+
+# ----------------------------------------------------- bucket transform ----
+def murmur3_32_i64(v) -> "np.ndarray":
+    """Vectorized 32-bit Murmur3 (x86 variant, seed 0) of int64 values
+    hashed as their 8-byte little-endian encoding — the Iceberg spec's
+    Appendix B `hash(long v)`. Spec test vector: hash(34) == 2017239379
+    (and int 34 hashes identically, which is why bucket specs survive
+    int->long type promotion)."""
+    import numpy as np
+
+    x = np.asarray(v, dtype=np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(x.shape, np.uint32)  # seed 0
+    for block in ((x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                  (x >> np.uint64(32)).astype(np.uint32)):
+        k = block * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # total length in bytes
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def bucket_of(v, n: int) -> "np.ndarray":
+    """Iceberg `bucket[n]` transform of int64 values:
+    (murmur3(v) & Integer.MAX_VALUE) % n, int32."""
+    import numpy as np
+
+    h = murmur3_32_i64(v).view(np.int32) & np.int32(0x7FFFFFFF)
+    return (h % np.int32(n)).astype(np.int32)
+
+
+def _bucket_udf(n: int):
+    """Vectorized (Arrow-batched) bucket column for staging writes.
+    The real runtime computes this JVM-side; a pandas_udf is the
+    faithful stand-in here — Spark's built-in hash() is murmur3 with
+    seed 42 over a different long encoding, NOT the spec function."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def b(s):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(bucket_of(s.to_numpy(np.int64), n))
+
+    # explicit SCALAR eval type: this module uses
+    # `from __future__ import annotations`, so type hints are strings
+    # pyspark's inference cannot resolve
+    return pandas_udf(b, "int", PandasUDFType.SCALAR)
+
+
+def parse_bucket_partition(partition_by) -> tuple[int, str] | None:
+    """Accept the seam's partition_by list when it is exactly one
+    `"bucket(N, col)"` entry -> (N, col); None for no partitioning.
+    Anything else (identity columns, multiple fields) stays a
+    documented non-goal of the lite harness."""
+    if not partition_by:
+        return None
+    import re
+
+    if len(partition_by) == 1:
+        m = re.fullmatch(r"\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*",
+                         partition_by[0])
+        if m:
+            return int(m.group(1)), m.group(2)
+    return None
 
 
 # ----------------------------------------------------- schema conversion ---
@@ -125,15 +211,19 @@ def _opt(t):
 
 
 # Iceberg spec "Manifests": manifest_entry with nested data_file (r2).
-# field-id attributes follow the spec's id assignments.
-def _manifest_entry_schema() -> dict:
+# field-id attributes follow the spec's id assignments. The partition
+# record (r102) carries one optional int per partition field of the
+# spec the manifest was written under — [(name, field_id), ...].
+def _manifest_entry_schema(spec_fields: list[tuple[str, int]] = ()) -> dict:
     data_file = {
         "type": "record", "name": "r2", "fields": [
             {"name": "content", "type": "int", "field-id": 134},
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition",
-             "type": {"type": "record", "name": "r102", "fields": []},
+             "type": {"type": "record", "name": "r102", "fields": [
+                 {"name": name, "type": _opt("int"), "default": None,
+                  "field-id": fid} for name, fid in spec_fields]},
              "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long",
@@ -257,8 +347,28 @@ class IcebergLiteTable:
             f.write(str(base_version + 1))
 
     # ---- snapshot construction ----
-    def _new_metadata(self, spark_schema: T.StructType) -> dict:
+    @staticmethod
+    def _spec_fields_for(spark_schema: T.StructType,
+                         bucket: tuple[int, str] | None) -> list[dict]:
+        """Partition-spec field list (spec JSON form) for a bucket."""
+        if bucket is None:
+            return []
+        n, col = bucket
+        ice_schema, _ = spark_schema_to_iceberg(spark_schema)
+        src = next((f for f in ice_schema["fields"] if f["name"] == col),
+                   None)
+        if src is None:
+            raise ValueError(f"bucket({n}, {col}): no such column")
+        if src["type"] not in ("int", "long"):
+            raise ValueError(f"bucket({n}, {col}): only int/long source "
+                             f"columns are supported (got {src['type']})")
+        return [{"name": f"{col}_bucket", "transform": f"bucket[{n}]",
+                 "source-id": src["id"], "field-id": _PARTITION_FIELD_ID}]
+
+    def _new_metadata(self, spark_schema: T.StructType,
+                      bucket: tuple[int, str] | None = None) -> dict:
         ice_schema, last_col = spark_schema_to_iceberg(spark_schema)
+        spec_fields = self._spec_fields_for(spark_schema, bucket)
         return {
             "format-version": FORMAT_VERSION,
             "table-uuid": str(uuid.uuid4()),
@@ -269,8 +379,9 @@ class IcebergLiteTable:
             "current-schema-id": 0,
             "schemas": [ice_schema],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": (_PARTITION_FIELD_ID if spec_fields
+                                  else 999),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -281,19 +392,45 @@ class IcebergLiteTable:
             "metadata-log": [],
         }
 
+    def _bucket_spec(self, md: dict | None = None
+                     ) -> tuple[int, str, str] | None:
+        """Current table's bucket partitioning, from committed metadata:
+        (n, source column name, partition field name) or None."""
+        md = md if md is not None else self.metadata()
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        if not spec["fields"]:
+            return None
+        f = spec["fields"][0]
+        n = int(f["transform"][len("bucket["):-1])
+        schema = next(s for s in md["schemas"]
+                      if s["schema-id"] == md["current-schema-id"])
+        src = next(c["name"] for c in schema["fields"]
+                   if c["id"] == f["source-id"])
+        return n, src, f["name"]
+
+    @staticmethod
+    def _spec_pairs(md: dict) -> list[tuple[str, int]]:
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        return [(f["name"], f["field-id"]) for f in spec["fields"]]
+
     def _write_manifest(self, entries: list[dict], seq: int,
-                        snapshot_id: int, table_schema: dict) -> dict:
+                        snapshot_id: int, md: dict) -> dict:
         """Write one manifest Avro file -> its manifest_file record."""
         os.makedirs(self.metadata_dir, exist_ok=True)
         path = os.path.join(self.metadata_dir,
                             f"{uuid.uuid4().hex}-m0.avro")
+        table_schema = md["schemas"][0]
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
         avro_lite.write_container(
-            path, _manifest_entry_schema(), entries,
+            path, _manifest_entry_schema(self._spec_pairs(md)), entries,
             metadata={
                 "schema": json.dumps(table_schema).encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
-                "partition-spec-id": b"0",
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(spec["spec-id"]).encode(),
                 "format-version": str(FORMAT_VERSION).encode(),
                 "content": b"data",
             })
@@ -366,39 +503,68 @@ class IcebergLiteTable:
         self._commit(md, base_version)
 
     # ---- data files ----
-    def _import_parquet_dir(self, tmpdir: str) -> list[tuple[str, int]]:
+    def _import_parquet_dir(self, tmpdir: str,
+                            bucket: tuple[int, str, str] | None = None
+                            ) -> list[tuple[str, int, dict]]:
         """Move Spark-written part files into data/ ONCE, returning
-        (path, row_count) pairs. Deliberately snapshot-agnostic: a
-        commit retry after CommitConflict must reuse these exact files
-        (re-running the move would find an emptied tmpdir and commit an
-        empty manifest — the silent-data-loss race ADVICE r4 flagged).
-        Entries are minted per attempt by _entries_for."""
+        (path, row_count, partition_tuple) triples. Deliberately
+        snapshot-agnostic: a commit retry after CommitConflict must
+        reuse these exact files (re-running the move would find an
+        emptied tmpdir and commit an empty manifest — the
+        silent-data-loss race ADVICE r4 flagged). Entries are minted
+        per attempt by _entries_for.
+
+        For a bucketed table the staged write is `partitionBy` on the
+        helper bucket column, so parts live under `_pbucket=K/`; they
+        land in `data/<part_name>=K/` with the partition tuple carried
+        into the manifest entry."""
         import pyarrow.parquet as pq
 
-        os.makedirs(self.data_dir, exist_ok=True)
         files = []
-        parts = sorted(p for p in os.listdir(tmpdir)
-                       if p.endswith(".parquet") and p.startswith("part-"))
-        for i, part in enumerate(parts):
-            dst = os.path.join(self.data_dir,
-                               f"{uuid.uuid4().hex}-{i:05d}.parquet")
-            shutil.move(os.path.join(tmpdir, part), dst)
-            files.append((dst, pq.ParquetFile(dst).metadata.num_rows))
+        if bucket is None:
+            os.makedirs(self.data_dir, exist_ok=True)
+            parts = sorted(
+                p for p in os.listdir(tmpdir)
+                if p.endswith(".parquet") and p.startswith("part-"))
+            for i, part in enumerate(parts):
+                dst = os.path.join(self.data_dir,
+                                   f"{uuid.uuid4().hex}-{i:05d}.parquet")
+                shutil.move(os.path.join(tmpdir, part), dst)
+                files.append((dst, pq.ParquetFile(dst).metadata.num_rows,
+                              {}))
+            return files
+        _n, _src, part_name = bucket
+        for d in sorted(p for p in os.listdir(tmpdir)
+                        if p.startswith("_pbucket=")):
+            k = int(d.split("=", 1)[1])
+            out_dir = os.path.join(self.data_dir, f"{part_name}={k}")
+            os.makedirs(out_dir, exist_ok=True)
+            sub = os.path.join(tmpdir, d)
+            parts = sorted(p for p in os.listdir(sub)
+                           if p.endswith(".parquet")
+                           and p.startswith("part-"))
+            for i, part in enumerate(parts):
+                dst = os.path.join(out_dir,
+                                   f"{uuid.uuid4().hex}-{i:05d}.parquet")
+                shutil.move(os.path.join(sub, part), dst)
+                files.append((dst, pq.ParquetFile(dst).metadata.num_rows,
+                              {part_name: k}))
         return files
 
-    def _entries_for(self, files: list[tuple[str, int]], seq: int,
+    def _entries_for(self, files: list[tuple[str, int, dict]], seq: int,
                      snapshot_id: int) -> list[dict]:
-        return [self._entry_for_file(path, rows, ADDED, seq, snapshot_id)
-                for path, rows in files]
+        return [self._entry_for_file(path, rows, ADDED, seq, snapshot_id,
+                                     part)
+                for path, rows, part in files]
 
     @staticmethod
     def _entry_for_file(path: str, rows: int, status: int, seq: int,
-                        snapshot_id: int) -> dict:
+                        snapshot_id: int, part: dict | None = None) -> dict:
         return {"status": status, "snapshot_id": snapshot_id,
                 "sequence_number": seq, "file_sequence_number": seq,
                 "data_file": {
                     "content": 0, "file_path": path,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": part or {},
                     "record_count": rows,
                     "file_size_in_bytes": os.path.getsize(path)}}
 
@@ -419,6 +585,32 @@ class IcebergLiteTable:
     def live_files(self) -> list[str]:
         return [e["data_file"]["file_path"] for e in self.live_entries()]
 
+    def live_files_for_buckets(self, buckets: set[int]) -> list[str]:
+        """Manifest-level partition pruning: data files whose bucket
+        partition value is in `buckets`. On an unpartitioned table
+        every file qualifies (no pruning possible — same as Iceberg's
+        residual-true scan)."""
+        spec = self._bucket_spec()
+        if spec is None:
+            return self.live_files()
+        _n, _src, part_name = spec
+        return [e["data_file"]["file_path"] for e in self.live_entries()
+                if e["data_file"]["partition"].get(part_name) in buckets]
+
+    def live_files_for_hashes(self, values) -> list[str]:
+        """Prune a hash-probe scan to the buckets its values can live
+        in — the query-side payoff of bucket(N, hash): a ±range probe
+        expands to at most len(values) buckets instead of the whole
+        table. Values are exact probe hashes (the caller expands its
+        ±query_range window); bucketing is not order-preserving, so a
+        RANGE cannot be pruned without enumerating its members."""
+        spec = self._bucket_spec()
+        if spec is None:
+            return self.live_files()
+        n = spec[0]
+        return self.live_files_for_buckets(
+            set(bucket_of(list(values), n).tolist()))
+
     def spark_schema(self) -> T.StructType:
         md = self.metadata()
         ice = next(s for s in md["schemas"]
@@ -426,42 +618,60 @@ class IcebergLiteTable:
         return iceberg_schema_to_spark(ice)
 
     # ---- operations ----
-    def _stage_dataframe(self, df: DataFrame) -> str:
+    def _stage_dataframe(self, df: DataFrame,
+                         bucket: tuple[int, str, str] | None = None) -> str:
         tmpdir = os.path.join(self.location,
                               f"_staging_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(tmpdir)
+        if bucket is None:
+            df.write.mode("overwrite").parquet(tmpdir)
+        else:
+            n, src, _name = bucket
+            # the helper column lives only in staging directory names
+            # (partitionBy drops it from the data files), so data files
+            # keep the table schema exactly
+            (df.withColumn("_pbucket", _bucket_udf(n)(df[src]))
+             .write.mode("overwrite").partitionBy("_pbucket")
+             .parquet(tmpdir))
         return tmpdir
 
-    def create_or_replace(self, df: DataFrame) -> None:
-        tmpdir = self._stage_dataframe(df)
+    def create_or_replace(self, df: DataFrame,
+                          bucket: tuple[int, str] | None = None) -> None:
+        bucket3 = (bucket[0], bucket[1], f"{bucket[1]}_bucket") \
+            if bucket else None
+        # validate before writing any bytes (bad column/type)
+        self._spec_fields_for(df.schema, bucket)
+        tmpdir = self._stage_dataframe(df, bucket3)
         try:
-            files = self._import_parquet_dir(tmpdir)
+            files = self._import_parquet_dir(tmpdir, bucket3)
         finally:
             shutil.rmtree(tmpdir, ignore_errors=True)
         try:
-            self._retrying(self._do_replace, df.schema, files)
+            self._retrying(self._do_replace, df.schema, files, bucket)
         except BaseException:
             # commit never landed: the imported files are unreachable
             # from any snapshot — remove them instead of orphaning
-            for path, _ in files:
+            for path, _, _part in files:
                 with contextlib.suppress(OSError):
                     os.remove(path)
             raise
 
     def _do_replace(self, schema: T.StructType,
-                    files: list[tuple[str, int]]) -> None:
+                    files: list[tuple[str, int, dict]],
+                    bucket: tuple[int, str] | None = None) -> None:
         base = self.current_version()
+        md = self._new_metadata(schema, bucket)
         if base > 0:
-            md = self.metadata()
-            ice, last_col = spark_schema_to_iceberg(schema)
-            md = dict(md, schemas=[ice], **{"last-column-id": last_col})
-        else:
-            md = self._new_metadata(schema)
+            prior = self.metadata()
+            # replace redefines schema AND partition spec; history
+            # (snapshots, logs, uuid, sequence numbers) carries forward
+            for k in ("table-uuid", "last-sequence-number",
+                      "current-snapshot-id", "snapshots", "snapshot-log",
+                      "metadata-log", "refs"):
+                md[k] = prior[k]
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
         entries = self._entries_for(files, seq, snapshot_id)
-        manifest = self._write_manifest(entries, seq, snapshot_id,
-                                        md["schemas"][0])
+        manifest = self._write_manifest(entries, seq, snapshot_id, md)
         self._commit_snapshot(md, base, [manifest], "overwrite",
                               snapshot_id,
                               {"added-data-files":
@@ -473,27 +683,26 @@ class IcebergLiteTable:
         if not self.exists():
             raise FileNotFoundError(
                 f"iceberg_lite: no such table at {self.location}")
-        tmpdir = self._stage_dataframe(df)
+        tmpdir = self._stage_dataframe(df, self._bucket_spec())
         try:
-            files = self._import_parquet_dir(tmpdir)
+            files = self._import_parquet_dir(tmpdir, self._bucket_spec())
         finally:
             shutil.rmtree(tmpdir, ignore_errors=True)
         try:
             self._retrying(self._do_append, files)
         except BaseException:
-            for path, _ in files:
+            for path, _, _part in files:
                 with contextlib.suppress(OSError):
                     os.remove(path)
             raise
 
-    def _do_append(self, files: list[tuple[str, int]]) -> None:
+    def _do_append(self, files: list[tuple[str, int, dict]]) -> None:
         base = self.current_version()
         md = self.metadata()
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
         entries = self._entries_for(files, seq, snapshot_id)
-        manifest = self._write_manifest(entries, seq, snapshot_id,
-                                        md["schemas"][0])
+        manifest = self._write_manifest(entries, seq, snapshot_id, md)
         prior = self._current_manifests(md)
         self._commit_snapshot(md, base, [manifest] + prior, "append",
                               snapshot_id,
@@ -553,16 +762,19 @@ class IcebergLiteTable:
             if kept.num_rows == 0:
                 stats["files_dropped"] += 1
                 continue
-            dst = os.path.join(self.data_dir,
+            # COW keeps the file's own partition: every row of a data
+            # file shares its bucket, and deletion cannot change it
+            dst = os.path.join(os.path.dirname(path),
                                f"{uuid.uuid4().hex}-cow.parquet")
             pq.write_table(kept, dst)
             written.append(dst)
             stats["files_rewritten"] += 1
             out_entries.append(self._entry_for_file(
-                dst, kept.num_rows, ADDED, seq, snapshot_id))
+                dst, kept.num_rows, ADDED, seq, snapshot_id,
+                e["data_file"]["partition"]))
         try:
             manifest = self._write_manifest(out_entries, seq, snapshot_id,
-                                            md["schemas"][0])
+                                            md)
             self._commit_snapshot(md, base, [manifest], "delete",
                                   snapshot_id,
                                   {"deleted-records":
@@ -598,7 +810,7 @@ class IcebergLiteTable:
         stats = {"files_scanned": len(live), "files_rewritten": 0,
                  "files_dropped": 0, "rows_deleted": 0}
         if not live:
-            files: list[tuple[str, int]] = []
+            files: list[tuple[str, int, dict]] = []
             hit_paths: set[str] = set()
         else:
             schema = self.spark_schema()
@@ -624,9 +836,10 @@ class IcebergLiteTable:
                 kept = (src.where(F.col("_file").isin(hit_uris))
                         .join(ids_df, id_col, "left_anti")
                         .drop("_file"))
-                tmpdir = self._stage_dataframe(kept)
+                bucket3 = self._bucket_spec(md)
+                tmpdir = self._stage_dataframe(kept, bucket3)
                 try:
-                    files = self._import_parquet_dir(tmpdir)
+                    files = self._import_parquet_dir(tmpdir, bucket3)
                 finally:
                     shutil.rmtree(tmpdir, ignore_errors=True)
         dropped_or_rewritten = len(hit_paths)
@@ -642,13 +855,13 @@ class IcebergLiteTable:
                        if e["data_file"]["record_count"] > 0]
         try:
             manifest = self._write_manifest(out_entries, seq, snapshot_id,
-                                            md["schemas"][0])
+                                            md)
             self._commit_snapshot(md, base, [manifest], "delete",
                                   snapshot_id,
                                   {"deleted-records":
                                    str(stats["rows_deleted"])})
         except BaseException:
-            for path, _ in files:
+            for path, _, _part in files:
                 with contextlib.suppress(OSError):
                     os.remove(path)
             raise
@@ -691,9 +904,12 @@ class IcebergLiteWriter(IcebergWriter):
 
     def create_or_replace(self, df: DataFrame, name: str,
                           partition_by: list[str] | None = None) -> None:
-        # partition transforms are a documented non-goal of the lite
-        # harness (files are unpartitioned; spec-id 0 is the truth)
-        self._table(name).create_or_replace(df)
+        # `["bucket(N, col)"]` executes as a real bucket partition spec
+        # (files under data/<col>_bucket=K/, manifest partition tuples,
+        # prunable via live_files_for_hashes); identity/multi-field
+        # partitioning stays a documented non-goal of the lite harness
+        self._table(name).create_or_replace(
+            df, bucket=parse_bucket_partition(partition_by))
 
     def append(self, df: DataFrame, name: str) -> None:
         self._table(name).append(df)

@@ -432,3 +432,119 @@ def test_store_ops_delete_and_clear_through_iceberg_lite(spark, tmp_path,
     assert not IcebergLiteTable(
         str(tmp_path / "warehouse" / store.iceberg_namespace / "prints")
     ).exists()
+
+
+# ----------------------------------------------------- bucket transform ----
+def test_bucket_transform_matches_spec_vector():
+    """Iceberg spec Appendix B: the bucket transform's 32-bit murmur3
+    of long 34 (8-byte little-endian, seed 0) is 2017239379 — the
+    spec's own published test vector."""
+    import numpy as np
+
+    from panako_spark.io.iceberg_lite import bucket_of, murmur3_32_i64
+
+    assert int(murmur3_32_i64(np.array([34], np.int64))[0]) == 2017239379
+    assert int(bucket_of(np.array([34], np.int64), 16)[0]) \
+        == (2017239379 & 0x7FFFFFFF) % 16
+    # negative hashes bucket into [0, n) (the & MAX_INT guard)
+    b = bucket_of(np.array([-1, -(2 ** 63), 2 ** 63 - 1], np.int64), 8)
+    assert all(0 <= v < 8 for v in b.tolist())
+
+
+def test_bucketed_create_prunes_hash_probe(spark, tmp_path):
+    """VERDICT r4 #4: bucket(N, hash) EXECUTES through the lite writer —
+    data files land per bucket, every file's rows agree with its
+    manifest partition value, and a hash-probe scan reads only the
+    probe's buckets (verified by file-path identity) while returning
+    exactly the rows a full scan would."""
+    import pyarrow.parquet as pq
+
+    from panako_spark.io.iceberg_lite import bucket_of
+
+    w = IcebergLiteWriter(str(tmp_path))
+    w.create_or_replace(_df(spark, n=200), "panako.ns.bt",
+                        partition_by=["bucket(8, hash)"])
+    t = IcebergLiteTable(str(tmp_path / "ns" / "bt"))
+
+    # spec recorded in metadata
+    md = t.metadata()
+    spec = md["partition-specs"][0]["fields"]
+    assert spec and spec[0]["transform"] == "bucket[8]"
+    assert spec[0]["name"] == "hash_bucket"
+
+    # every live file: dir layout, manifest partition value, and row
+    # contents all agree on the bucket
+    entries = t.live_entries()
+    assert len(entries) > 1, "need >1 file for pruning to mean anything"
+    for e in entries:
+        path = e["data_file"]["file_path"]
+        k = e["data_file"]["partition"]["hash_bucket"]
+        assert f"hash_bucket={k}" in path
+        got = pq.read_table(path, columns=["hash"])["hash"].to_numpy()
+        assert set(bucket_of(got, 8).tolist()) == {k}
+
+    # data files keep the TABLE schema (helper column never persisted)
+    back = w.read_table(spark, "panako.ns.bt")
+    assert back.schema.simpleString() == \
+        "struct<image_id:string,hash:bigint,arr:array<int>>"
+    assert back.count() == 200
+
+    # hash-range probe: ±2 window around two stored hashes
+    probe = [49 * 7, 49 * 7 + 1, 49 * 7 + 2, 11 * 7, 11 * 7 - 1]
+    pruned = t.live_files_for_hashes(probe)
+    allfiles = t.live_files()
+    assert set(pruned) < set(allfiles), "probe must prune files"
+    want_buckets = set(bucket_of(probe, 8).tolist())
+    for e in entries:
+        in_pruned = e["data_file"]["file_path"] in pruned
+        assert in_pruned == (
+            e["data_file"]["partition"]["hash_bucket"] in want_buckets)
+    # scan equivalence: the pruned set contains every row whose hash
+    # is in the probe set (no silent row loss through pruning)
+    pruned_rows = {r.hash for r in
+                   spark.read.schema(t.spark_schema()).parquet(*pruned)
+                   .where(F.col("hash").isin(probe)).collect()}
+    full_rows = {r.hash for r in back.where(F.col("hash").isin(probe))
+                 .collect()}
+    assert pruned_rows == full_rows and full_rows
+
+
+def test_bucketed_append_and_cow_delete_preserve_partition(spark, tmp_path):
+    """Appends stage through the committed spec; a COW DELETE rewrite
+    keeps each rewritten file's partition tuple (bucket is a pure
+    function of rows, so deletion cannot move a file's bucket)."""
+    from panako_spark.io.iceberg_lite import bucket_of
+
+    w = IcebergLiteWriter(str(tmp_path))
+    w.create_or_replace(_df(spark, n=80), "panako.ns.bt2",
+                        partition_by=["bucket(4, hash)"])
+    w.append(_df(spark, n=40, tag="x"), "panako.ns.bt2")
+    t = IcebergLiteTable(str(tmp_path / "ns" / "bt2"))
+    assert w.read_table(spark, "panako.ns.bt2").count() == 120
+    for e in t.live_entries():
+        assert "hash_bucket" in e["data_file"]["partition"]
+
+    # distributed COW delete of a handful of ids
+    ids = spark.createDataFrame(
+        [(f"img{i}",) for i in range(0, 30, 3)], "image_id string")
+    ids.createOrReplaceTempView("bt2_del")
+    w.delete_ids(spark, "panako.ns.bt2", "bt2_del")
+    assert w.last_delete_stats["rows_deleted"] == 10
+    back = w.read_table(spark, "panako.ns.bt2")
+    assert back.count() == 110
+    # every surviving entry still carries a partition consistent with
+    # its rows, and pruning still routes a probe correctly
+    import pyarrow.parquet as pq
+
+    for e in t.live_entries():
+        k = e["data_file"]["partition"]["hash_bucket"]
+        got = pq.read_table(e["data_file"]["file_path"],
+                            columns=["hash"])["hash"].to_numpy()
+        assert set(bucket_of(got, 4).tolist()) == {k}
+    probe = [7 * 7]
+    pruned = t.live_files_for_hashes(probe)
+    assert set(pruned) <= set(t.live_files())
+    got = {r.image_id for r in
+           spark.read.schema(t.spark_schema()).parquet(*pruned)
+           .where(F.col("hash") == 49).collect()}
+    assert got == {"img7", "imgx7"}
