@@ -128,7 +128,14 @@ class PanakoConfig:
     # pairs score 16-35 with hamming 16-20 (one 36-hamming pair clears
     # on score 35 alone). Applied identically in the pipeline
     # (pipeline.rescue_gate) and the golden matcher (_pair_ok).
-    rescue_min_score: int = 15
+    # 15 -> 13 (r5 sweep, with tile_min_coverage=0.10): admits exactly
+    # the score-13 phash-corroborated crop pair the coverage gate had
+    # been hiding — direct recall 0.9907 -> 0.9938, cluster closure
+    # 0.9969 -> 1.0000 with out-of-clique pairs bit-identical (8
+    # direct / 38 implied) at every swept value down to 10; 13 is the
+    # minimum that admits the measured true pair, so the gate stays
+    # as tight as the evidence allows.
+    rescue_min_score: int = 13
     rescue_strong_score: int = 30
     rescue_phash_max: int = 20
 
@@ -215,6 +222,18 @@ class PanakoConfig:
     # identical recall. Gate 12 leaves margin under the lowest TP.
     tile_query_range: int = 0
     tile_min_score: int = 12
+    # Tile matches verify with the Q13 coverage gate relaxed to this
+    # value (the OTA-config per-window relaxation analog,
+    # OlafStorageKVTest.java:127-137): a tile probes a SLICE of the
+    # query against a whole stored image, so a true crop pair's
+    # inliers legitimately cover a smaller fraction of the stored span
+    # than a full-image match's would. Swept r5 on the 642-image truth
+    # corpus (BENCH/ATTRIBUTION.md "Fix 6"): 0.10 (together with
+    # rescue_min_score 13 below) recovers one coverage-blocked true
+    # crop pair (score 13, coverage 0.14) with out-of-clique pairs
+    # unchanged; the other gates (tile_min_score, factor windows,
+    # inlier fit) stay at full strength.
+    tile_min_coverage: float = 0.10
 
     # ---- histogram fallback matcher (Q15) ------------------------------------
     # Olaf's noisy-query fallback (OlafStrategy.java:462-541, enabled by

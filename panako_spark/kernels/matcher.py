@@ -107,9 +107,11 @@ class GoldenMatcher:
     def query_prints(self, h, t1, f1, avoid: set[str],
                      hot_cap: int | None = None,
                      query_range: int | None = None,
-                     std_index_only: bool = False
+                     std_index_only: bool = False,
+                     verify_cfg: PanakoConfig | None = None
                      ) -> dict[str, MatchResult]:
         cfg = self.cfg
+        vcfg = verify_cfg if verify_cfg is not None else cfg
         qr = cfg.query_range if query_range is None else query_range
         hot = self._hot_hashes(hot_cap)
         index = self._index_std if std_index_only else self._index
@@ -127,7 +129,8 @@ class GoldenMatcher:
         out: dict[str, MatchResult] = {}
         for rid, rows in hits.items():
             arr = np.array(rows, dtype=np.int64)
-            res = verify_pair(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], cfg)
+            res = verify_pair(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+                              vcfg)
             if res is not None:
                 out[rid] = res
         return out
@@ -159,10 +162,17 @@ class GoldenMatcher:
         Spark sibling filters on `is_std`) — dense rescue extras are
         landmark-channel-only (prints_with_rescue documents the
         measured reason)."""
+        import dataclasses
+
         from panako_spark.kernels.landmarks import extract_prints_with_tiles
 
         if not self.cfg.tile_rescue:
             return set()
+        # Q13 coverage relaxed to tile_min_coverage for tile matches —
+        # the Spark sibling (stages/verify.make_tile_verify_batches)
+        # builds the identical vcfg
+        vcfg = dataclasses.replace(
+            self.cfg, min_coverage=self.cfg.tile_min_coverage)
         pairs: set[tuple[str, str]] = set()
         for qid, gray in grays.items():
             _, tiles, _resc, _n_std = extract_prints_with_tiles(gray,
@@ -172,7 +182,7 @@ class GoldenMatcher:
                         h, t1, f1, avoid={qid},
                         hot_cap=self.cfg.hash_max_images,
                         query_range=self.cfg.tile_query_range,
-                        std_index_only=True).items():
+                        std_index_only=True, verify_cfg=vcfg).items():
                     if res.score >= self.cfg.tile_min_score \
                             and self._pair_ok(qid, rid, res.score,
                                               extra_rescued=tile_resc):

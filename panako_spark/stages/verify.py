@@ -173,7 +173,13 @@ def make_tile_verify_batches(cfg: PanakoConfig):
     (query image, stored image, tile) run, SINGLE orientation (the tile
     prints are the query side, exactly like GoldenMatcher.query_prints).
     Same per-batch streaming + trailing-run carry as make_verify_batches."""
+    import dataclasses
+
     min_hits = cfg.min_unfiltered_hits
+    # Q13 coverage relaxed to tile_min_coverage for TILE matches only
+    # (config.py carries the swept rationale); every other gate stays
+    # at full strength. GoldenMatcher.tile_rescue_pairs mirrors this.
+    vcfg = dataclasses.replace(cfg, min_coverage=cfg.tile_min_coverage)
 
     def _emit(rows: list) -> pd.DataFrame:
         if not rows:
@@ -196,7 +202,7 @@ def make_tile_verify_batches(cfg: PanakoConfig):
         for si in np.flatnonzero(lens >= min_hits):
             lo2, hi2 = bounds[si], bounds[si + 1]
             res = verify_pair(q_t[lo2:hi2], q_f[lo2:hi2],
-                              r_t[lo2:hi2], r_f[lo2:hi2], cfg)
+                              r_t[lo2:hi2], r_f[lo2:hi2], vcfg)
             if res is not None:
                 rows.append((ids_q[lo2], ids_r[lo2], tids[lo2], res.score))
 
