@@ -246,9 +246,12 @@ def prints_with_rescue(spec: np.ndarray, cfg: PanakoConfig,
     The dense peak set is a superset of the standard one and triplet
     enumeration is exhaustive-in-window, so rescue never loses a hash
     the standard extraction had (modulo the max_prints cap).
-    Deterministic in content alone, and the single extraction entry
-    point for the store path, the tile channel and the golden matcher
-    — parity by construction.
+    Deterministic in content alone. The store path, the tile channel
+    and the golden matcher all extract through this logic — the
+    single-spec form here, or the batched form in
+    extract_prints_with_tiles, which shares _needs_rescue/_apply_rescue
+    verbatim and is bit-identical (goldens asserted at the r5 rewrite)
+    — so parity holds by construction.
 
     Returns (hash, t1, f1, rescued, n_std): the first n_std prints are
     the STANDARD-window pick verbatim, the rest the dense-only extras
