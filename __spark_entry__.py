@@ -41,12 +41,14 @@ def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic synthetic corpus. sf_dir is unused — the corpus is
     generated, per FIXTURES.md.
 
-    The driver's check is rows-only, so the REAL gate runs inside the
-    query: the single-node golden matcher (reference lifecycle
-    semantics) processes the same corpus and the query RAISES unless the
-    pipeline recovers every golden landmark pair and the cluster labels
-    equal the union-find golden — a failed parity turns into a driver
-    error, not a silently-green row count."""
+    Gated twice: (a) an inline VALUES oracle (_inline_oracles — the
+    committed pair set the pure-Python golden matcher computed, so the
+    driver compares rows+schema+hash like every other query), and (b)
+    an IN-QUERY gate: the golden matcher re-processes the same corpus
+    live and the query RAISES unless the pipeline recovers every golden
+    landmark pair and the cluster labels equal the union-find golden —
+    a failed parity turns into a driver error, not a silently-green
+    row count."""
     import tempfile
 
     from panako_spark.config import PanakoConfig
@@ -89,11 +91,12 @@ def _image_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only showcase of the image multimodal plumbing: decode ->
-    nearest-neighbor resize -> PNG re-encode -> feature extract, all via
-    Arrow-batched mapInPandas. sf_dir unused — the corpus is synthetic.
-    The real gate is in-query: a pure-NumPy golden twin recomputes every
-    feature from the known pixels and the query RAISES on mismatch."""
+    """Image multimodal plumbing: decode -> nearest-neighbor resize ->
+    PNG re-encode -> feature extract, all via Arrow-batched mapInPandas.
+    sf_dir unused — the corpus is synthetic. Gated twice: an inline
+    VALUES oracle (committed golden rowset, full driver compare) plus an
+    in-query pure-NumPy golden twin that recomputes every feature from
+    the known pixels and RAISES on mismatch."""
     import numpy as np
 
     from panako_spark.data.synth import generate_corpus, rows_to_pandas
@@ -231,12 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputes; match <=> the banding achieves full recall)
         "minhash_dup_pairs_docs": _minhash_docs_exact,
         "simhash_dup_pairs_docs": _simhash_docs_exact,
-        # --- full image pipeline (rows-only + IN-QUERY golden parity
-        #     assertions: a parity failure raises -> driver error) ---
+        # --- full image pipeline (inline VALUES oracle + IN-QUERY golden
+        #     parity assertions: a parity failure raises -> driver error)
         "image_dedup_pipeline": _image_dedup_smoke,
         # --- multimodal plumbing (decode/resize/feature/frame-sample);
-        # rows-only like the pipeline smoke: the gate is the in-query
-        # NumPy golden parity, which raises on any mismatch ---
+        # inline VALUES oracles like the pipeline smoke, plus the
+        # in-query NumPy golden parity, which raises on any mismatch ---
         "multimodal_image_features": _multimodal_image_features,
         "multimodal_audio_features": _multimodal_audio_features,
         "multimodal_video_frames": _multimodal_video_frames,
