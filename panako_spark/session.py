@@ -72,23 +72,19 @@ def get_spark(app_name: str = "panako-spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # ParallelGC over the JDK17 default G1: this pipeline is a pure
-        # batch job (pause-insensitive) that streams image-binary Arrow
-        # batches through the heap, and G1 priced that allocation
-        # pattern with task-attributed GC time that INFLATES with
-        # parallelism (stage_profile, n_base=8000 pinned: 15 s GC at
-        # local[2] -> 151 s at local[8], extract bucket 3 -> 72 s —
-        # large short-lived buffers hit G1's humongous-allocation path
-        # and its concurrent cycles compete with task threads on the
-        # pinned cores). Measured on the identical corpus, fresh JVM,
-        # <0.4% steal: local[2] 23.85 -> 32.64 img/s (+37%), local[8]
-        # 41.06 -> 60.39 img/s (+47%), 2->8 speedup 1.72x -> 1.85x —
-        # faster at BOTH levels and better scaling (throughput-first
-        # rule, BENCH/ATTRIBUTION.md Fix 7). On a real cluster the same
-        # flag belongs in spark.executor.defaultJavaOptions; local mode
-        # has one JVM, so the driver option covers it.
+        # GC: ship the JDK17 default (G1), decided by interleaved
+        # same-window A/B (tools/gc_ab_probe.py, BENCH/gc_ab_probe.jsonl).
+        # A ParallelGC switch briefly shipped on a +37%/+47% stage-profile
+        # reading, but under round-robin A/B at <3% steal it LOST:
+        # store/local[8] G1 424-481 img/s vs PGC 331-344 (task GC 6.5-7.6 s
+        # vs 41-49 s — ParallelGC grows the heap through stop-the-world
+        # full GCs on this allocation pattern), full/local[8] G1 ahead or
+        # tied in 3 of 4 pairs (e.g. 115.05 vs 81.85 img/s in the
+        # quietest window, GC 1.4 s vs 43.5 s). Pre-sizing the heap
+        # (-Xms) made ParallelGC worse, and G1 with 32 m regions did not
+        # beat default G1. Full story: BENCH/ATTRIBUTION.md Fix 7.
         .config("spark.driver.extraJavaOptions",
-                "-Djava.security.manager=allow -XX:+UseParallelGC")
+                "-Djava.security.manager=allow")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
