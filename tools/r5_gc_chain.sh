@@ -2,6 +2,9 @@
 # Round-5 continuation: re-measure BOTH protocol pairs on the shipping
 # ParallelGC code (commit 70193a9) — every pair in the history tables
 # predates the GC switch, so the tables currently understate HEAD.
+# [SUPERSEDED: the ParallelGC switch was overturned by the interleaved
+# A/B probe and reverted (ATTRIBUTION.md Fix 7); HEAD pairs are now
+# recorded by tools/r5b_head_chain.sh on the G1 default.]
 # Store first (cheap legs, doubles as a smoke test of bench.py at HEAD),
 # then the expensive full-pipeline 2->8 pairs. Pair numbering continues
 # each mode's history (store pairs 5-6, full pair 10 recorded earlier).
