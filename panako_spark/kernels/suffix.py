@@ -64,9 +64,14 @@ def suffix_array(s: str) -> np.ndarray:
 
 
 def lcp_array(s: str, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP array: lcp[i] = LCP(sa[i], sa[i-1]); lcp[0] = 0."""
-    a = s
-    n = len(a)
+    """Kasai LCP array: lcp[i] = LCP(sa[i], sa[i-1]); lcp[0] = 0.
+
+    Operates on the same UTF-8 byte view `suffix_array` sorts — indexing
+    the str by characters desynchronizes the two for non-ASCII text
+    (byte length != char length; caught by hypothesis in
+    tests/test_properties.py::test_lcp_array_matches_naive)."""
+    a = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = a.size
     rank = np.zeros(n, np.int64)
     rank[sa] = np.arange(n)
     lcp = np.zeros(n, np.int64)
