@@ -631,7 +631,13 @@ def _inline_oracles() -> dict[str, str]:
     try:
         with open(path) as f:
             fixture = json.load(f)
-    except OSError:
+    except OSError as e:
+        # degrading to no-oracle must be LOUD: a deploy that drops
+        # tests/golden/ would otherwise silently revert these 4 queries
+        # to the weaker rows-only check and look identical to a pass
+        print(f"__spark_entry__: WARNING — inline oracle fixture "
+              f"unreadable ({e}); 4 synthetic-corpus queries degrade "
+              "to no-oracle checks", file=sys.stderr, flush=True)
         return {}
     out = {}
     for name, spec in fixture.items():

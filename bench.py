@@ -203,14 +203,17 @@ def main() -> None:
             _fresh = _build_zip(os.path.join(_td, "fresh.zip"))
             with open(_fresh, "rb") as f:
                 _want = f.read()
-        _have = b""
-        if os.path.exists(_ZIP):
-            with open(_ZIP, "rb") as f:
-                _have = f.read()
-        if _have != _want:
-            _build_zip(_ZIP)
-            print("bench: dist/panako_spark.zip was stale — rebuilt "
-                  "(commit the refreshed zip)", file=sys.stderr, flush=True)
+            _have = b""
+            if os.path.exists(_ZIP):
+                with open(_ZIP, "rb") as f:
+                    _have = f.read()
+            if _have != _want:
+                # ship the byte-compared artifact itself (no second
+                # build, no window for sources to move in between)
+                shutil.copyfile(_fresh, _ZIP)
+                print("bench: dist/panako_spark.zip was stale — rebuilt "
+                      "(commit the refreshed zip)",
+                      file=sys.stderr, flush=True)
     except Exception as e:  # noqa: BLE001 — gate must not kill a bench run
         print(f"bench: zip freshness gate skipped: {e}",
               file=sys.stderr, flush=True)

@@ -112,18 +112,19 @@ def _bucket_udf(n: int):
     The real runtime computes this JVM-side; a pandas_udf is the
     faithful stand-in here — Spark's built-in hash() is murmur3 with
     seed 42 over a different long encoding, NOT the spec function."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     def b(s):
         import numpy as np
-        import pandas as pd
 
         return pd.Series(bucket_of(s.to_numpy(np.int64), n))
 
-    # explicit SCALAR eval type: this module uses
-    # `from __future__ import annotations`, so type hints are strings
-    # pyspark's inference cannot resolve
-    return pandas_udf(b, "int", PandasUDFType.SCALAR)
+    # this module uses `from __future__ import annotations`, so inline
+    # hints would be strings pyspark cannot resolve from this closure;
+    # real objects assigned directly keep the modern typed-UDF path
+    b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(b, "int")
 
 
 def parse_bucket_partition(partition_by) -> tuple[int, str] | None:
@@ -568,9 +569,9 @@ class IcebergLiteTable:
                     "record_count": rows,
                     "file_size_in_bytes": os.path.getsize(path)}}
 
-    def live_entries(self) -> list[dict]:
+    def live_entries(self, md: dict | None = None) -> list[dict]:
         """All live data-file entries of the current snapshot."""
-        md = self.metadata()
+        md = md if md is not None else self.metadata()
         if md["current-snapshot-id"] == -1:
             return []
         snap = next(s for s in md["snapshots"]
@@ -582,19 +583,22 @@ class IcebergLiteTable:
             out.extend(e for e in entries if e["status"] != DELETED)
         return out
 
-    def live_files(self) -> list[str]:
-        return [e["data_file"]["file_path"] for e in self.live_entries()]
+    def live_files(self, md: dict | None = None) -> list[str]:
+        return [e["data_file"]["file_path"]
+                for e in self.live_entries(md)]
 
-    def live_files_for_buckets(self, buckets: set[int]) -> list[str]:
+    def live_files_for_buckets(self, buckets: set[int],
+                               md: dict | None = None) -> list[str]:
         """Manifest-level partition pruning: data files whose bucket
         partition value is in `buckets`. On an unpartitioned table
         every file qualifies (no pruning possible — same as Iceberg's
         residual-true scan)."""
-        spec = self._bucket_spec()
+        md = md if md is not None else self.metadata()
+        spec = self._bucket_spec(md)
         if spec is None:
-            return self.live_files()
+            return self.live_files(md)
         _n, _src, part_name = spec
-        return [e["data_file"]["file_path"] for e in self.live_entries()
+        return [e["data_file"]["file_path"] for e in self.live_entries(md)
                 if e["data_file"]["partition"].get(part_name) in buckets]
 
     def live_files_for_hashes(self, values) -> list[str]:
@@ -604,12 +608,13 @@ class IcebergLiteTable:
         table. Values are exact probe hashes (the caller expands its
         ±query_range window); bucketing is not order-preserving, so a
         RANGE cannot be pruned without enumerating its members."""
-        spec = self._bucket_spec()
+        md = self.metadata()  # ONE read threads through spec + pruning
+        spec = self._bucket_spec(md)
         if spec is None:
-            return self.live_files()
+            return self.live_files(md)
         n = spec[0]
         return self.live_files_for_buckets(
-            set(bucket_of(list(values), n).tolist()))
+            set(bucket_of(list(values), n).tolist()), md)
 
     def spark_schema(self) -> T.StructType:
         md = self.metadata()
@@ -683,22 +688,37 @@ class IcebergLiteTable:
         if not self.exists():
             raise FileNotFoundError(
                 f"iceberg_lite: no such table at {self.location}")
-        tmpdir = self._stage_dataframe(df, self._bucket_spec())
+        # capture the partition spec ONCE: staging, import, and every
+        # commit attempt must agree on it, or a concurrent replace that
+        # changes bucket N would let a retry commit files whose
+        # partition tuples were minted under the superseded spec (and
+        # later pruned scans would silently skip their rows)
+        spec = self._bucket_spec()
+        tmpdir = self._stage_dataframe(df, spec)
         try:
-            files = self._import_parquet_dir(tmpdir, self._bucket_spec())
+            files = self._import_parquet_dir(tmpdir, spec)
         finally:
             shutil.rmtree(tmpdir, ignore_errors=True)
         try:
-            self._retrying(self._do_append, files)
+            self._retrying(self._do_append, files, spec)
         except BaseException:
             for path, _, _part in files:
                 with contextlib.suppress(OSError):
                     os.remove(path)
             raise
 
-    def _do_append(self, files: list[tuple[str, int, dict]]) -> None:
+    def _do_append(self, files: list[tuple[str, int, dict]],
+                   staged_spec: tuple[int, str, str] | None) -> None:
         base = self.current_version()
         md = self.metadata()
+        if self._bucket_spec(md) != staged_spec:
+            # not a CommitConflict: retrying cannot fix files already
+            # bucketed under the old spec — the caller must re-append
+            raise RuntimeError(
+                "iceberg_lite append: table partition spec changed "
+                f"concurrently (staged under {staged_spec}, table now "
+                f"{self._bucket_spec(md)}); aborting instead of "
+                "committing wrongly-bucketed files")
         seq = md["last-sequence-number"] + 1
         snapshot_id = self._new_snapshot_id()
         entries = self._entries_for(files, seq, snapshot_id)

@@ -548,3 +548,55 @@ def test_bucketed_append_and_cow_delete_preserve_partition(spark, tmp_path):
            spark.read.schema(t.spark_schema()).parquet(*pruned)
            .where(F.col("hash") == 49).collect()}
     assert got == {"img7", "imgx7"}
+
+
+def test_append_aborts_when_spec_changes_concurrently(spark, tmp_path,
+                                                      monkeypatch):
+    """A retry after CommitConflict must not commit data files whose
+    partition tuples were minted under a superseded spec: if a rival
+    replace changes bucket N between our staging and commit, the
+    append ABORTS (hard error, imported files removed) instead of
+    landing files that pruned scans would silently skip."""
+    w = IcebergLiteWriter(str(tmp_path))
+    w.create_or_replace(_df(spark, 5), "panako.ns.t")
+    t = IcebergLiteTable(str(tmp_path / "ns" / "t"))
+
+    real_commit = IcebergLiteTable._commit
+    state = {"left": 1, "in_rival": False}
+
+    def racing_commit(self, md, base_version):
+        if state["left"] > 0 and not state["in_rival"]:
+            state["left"] -= 1
+            state["in_rival"] = True
+            try:
+                # rival wins the version AND changes the partition spec
+                w.create_or_replace(_df(spark, 5), "panako.ns.t",
+                                    partition_by=["bucket(4, hash)"])
+            finally:
+                state["in_rival"] = False
+        return real_commit(self, md, base_version)
+
+    monkeypatch.setattr(IcebergLiteTable, "_commit", racing_commit)
+    with pytest.raises(RuntimeError, match="partition spec changed"):
+        w.append(_df(spark, 7, tag="b"), "panako.ns.t")
+    monkeypatch.undo()
+    assert state["left"] == 0, "the race was never exercised"
+
+    # the table is exactly the rival's: right rows, bucketed spec, and
+    # no orphaned data files from the aborted append (files superseded
+    # by the rival's replace are still referenced by OLD snapshots —
+    # normal Iceberg history — but the aborted append's files must be
+    # referenced by none and gone from disk)
+    back = w.read_table(spark, "panako.ns.t")
+    assert back.count() == 5
+    referenced = set()
+    md = t.metadata()
+    for snap in md["snapshots"]:
+        _, manifests, _ = avro_lite.read_container(snap["manifest-list"])
+        for m in manifests:
+            _, entries, _ = avro_lite.read_container(m["manifest_path"])
+            referenced |= {os.path.normpath(e["data_file"]["file_path"])
+                           for e in entries}
+    on_disk = {os.path.normpath(os.path.join(r, f))
+               for r, _d, fs in os.walk(t.data_dir) for f in fs}
+    assert on_disk <= referenced
