@@ -138,6 +138,83 @@ def start_live_monitor(spark: SparkSession, prints_path: str,
             .start())
 
 
+def frame_to_wire(image_id: str, byts: bytes, w: int, h: int, fmt: str,
+                  caption: str, phash: int) -> str:
+    """One frame -> one newline-free wire line (the sender half of the
+    socket monitor's contract): tab-separated
+    `image_id  fmt  w  h  b64(bytes)  b64(utf8(caption))  phash`.
+    Binary and free-text fields ride base64 so payload bytes can never
+    collide with the framing (tab/newline)."""
+    import base64
+
+    return "\t".join([
+        image_id, fmt, str(int(w)), str(int(h)),
+        base64.b64encode(byts).decode("ascii"),
+        base64.b64encode((caption or "").encode("utf-8")).decode("ascii"),
+        str(int(phash)),
+    ])
+
+
+def parse_wire(lines: DataFrame) -> DataFrame:
+    """Decode wire lines into IMAGE_SCHEMA rows — entirely JVM-side
+    expressions (split/unbase64/cast inside whole-stage codegen; no
+    Python touches the byte stream). Malformed lines (wrong field
+    count, non-numeric ints) decode to null fields and are dropped
+    here with a loud count left to the caller's lineage; payloads that
+    parse but fail to DECODE as images are NOT dropped — they flow to
+    the extract kernel's err-column quarantine like every batch row."""
+    p = F.split(F.col("value"), F.lit("\t"))
+    b64 = F.lit("base64")
+    # try_* variants: malformed fields become NULL (and are dropped
+    # below) even under spark.sql.ansi.enabled=true, where plain
+    # cast/unbase64 would kill the stream on one bad line
+    return (lines
+            .where(F.size(p) == 7)
+            .select(p.getItem(0).alias("image_id"),
+                    F.try_to_binary(p.getItem(4), b64).alias("bytes"),
+                    p.getItem(2).try_cast("int").alias("w"),
+                    p.getItem(3).try_cast("int").alias("h"),
+                    p.getItem(1).alias("fmt"),
+                    F.try_to_binary(p.getItem(5), b64).cast("string")
+                    .alias("caption"),
+                    p.getItem(6).try_cast("long").alias("phash"))
+            .where(F.col("image_id").isNotNull()
+                   & F.col("bytes").isNotNull()
+                   & F.col("w").isNotNull() & F.col("h").isNotNull()))
+
+
+def start_socket_monitor(spark: SparkSession, host: str, port: int,
+                         prints_path: str, output_dir: str,
+                         checkpoint_dir: str,
+                         cfg: PanakoConfig | None = None):
+    """S3 live-device monitor over a REAL network receiver: Structured
+    Streaming's TCP socket source. A capture device (or edge encoder)
+    pushes newline-delimited `frame_to_wire` lines; the JVM receiver
+    ingests them unbounded — the stream exists only while the peer
+    feeds it, exactly like the reference's microphone line
+    (Monitor.java:61-66) — and every micro-batch runs the identical
+    probe-and-verify flow as the file/rate monitors.
+
+    At cluster scale the same shape swaps the socket source for a
+    Kafka/Kinesis topic of the same wire records (socket is
+    single-receiver by design); parse_wire and everything downstream
+    are source-agnostic."""
+    cfg = cfg or PanakoConfig()
+    stored = spark.read.parquet(prints_path)
+    lines = (spark.readStream.format("socket")
+             .option("host", host).option("port", port).load())
+    frames = parse_wire(lines)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        matches = probe_batch(batch_df, stored, cfg)
+        (matches.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (frames.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
 def start_monitor(spark: SparkSession, input_dir: str, prints_path: str,
                   output_dir: str, checkpoint_dir: str,
                   cfg: PanakoConfig | None = None,

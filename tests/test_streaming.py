@@ -91,3 +91,86 @@ def test_live_monitor_rate_source(spark, cfg, tmp_path):
     matched_refs = {r for qid, r in got if qid.split("_", 1)[1] == r}
     assert matched_refs == {r.image_id for r in stored_rows}, (
         f"live monitor missed originals: {sorted(got)[:8]}")
+
+
+@pytest.mark.timeout(300)
+def test_socket_monitor_receives_and_matches(spark, cfg, tmp_path):
+    """S3 over a REAL network receiver: a TCP peer pushes wire-encoded
+    frames (tab/base64 framing) into the socket source; the monitor
+    decodes them JVM-side and every well-formed frame re-matches its
+    stored original. A malformed line and a corrupt-payload frame ride
+    along: the first is dropped by parse_wire's shape gate, the second
+    flows to the extract err-quarantine — neither kills the stream."""
+    import socket
+    import threading
+    import time as _t
+
+    from panako_spark.streaming.monitor import (
+        frame_to_wire, start_socket_monitor,
+    )
+
+    rows, _ = generate_corpus(8, dup_fraction=0.5, seed=41)
+    base = [r for r in rows if "_dup" not in r.image_id]
+    dups = [r for r in rows if "_dup" in r.image_id]
+    assert base and dups
+
+    prints_path = str(tmp_path / "prints")
+    images = spark.createDataFrame(rows_to_pandas(base))
+    split_prints(run_extract(images, cfg)).write.parquet(prints_path)
+
+    wire = [frame_to_wire(d.image_id, d.bytes, d.w, d.h, d.fmt,
+                          d.caption, d.phash) for d in dups]
+    wire.insert(0, "garbage line with\ttoo few fields")
+    wire.insert(1, frame_to_wire("corrupt0", b"\x00not-an-image", 64, 64,
+                                 "png", "x", 0))
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop_feed = threading.Event()
+
+    def feed():
+        conn, _addr = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(wire) + "\n").encode("ascii"))
+            # keep the connection open until the assertions are done —
+            # the socket source treats EOF as stream end
+            stop_feed.wait(240)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    out_dir = str(tmp_path / "sock_matches")
+    q = start_socket_monitor(spark, "127.0.0.1", port, prints_path,
+                             out_dir, str(tmp_path / "sock_ckpt"), cfg)
+    got = set()
+    try:
+        deadline = _t.monotonic() + 240
+        # monitor mode is the landmark channel only (no tile rescue),
+        # so crop dups are best-effort there — the guaranteed set is
+        # the non-crop dups, same standard as the file-monitor test
+        want = {d.image_id for d in dups if "_crop" not in d.image_id}
+        assert want
+        while _t.monotonic() < deadline:
+            try:
+                rows_out = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows_out = []
+            got = {(r["query_id"], r["ref_id"]) for r in rows_out}
+            if {qid for qid, _ in got} >= want:
+                break
+            _t.sleep(2)
+    finally:
+        stop_feed.set()
+        q.stop()
+        srv.close()
+
+    # every non-crop streamed dup matched its original via the receiver
+    self_pairs = {(qid, rid) for qid, rid in got
+                  if qid.split("_dup")[0] == rid}
+    assert {qid for qid, _ in self_pairs} >= want, (
+        f"socket monitor missed dups: {sorted(got)[:8]}")
+    # the corrupt frame was quarantined, not matched and not fatal
+    assert all(qid != "corrupt0" for qid, _ in got)
